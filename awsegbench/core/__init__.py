@@ -1,0 +1,20 @@
+"""Core TPU runtime utilities: mesh/sharding, PRNG streams, precision policy."""
+
+from .mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    batch_sharding,
+    create_mesh,
+    pad_batch_to_multiple,
+    replicate,
+    replicated_sharding,
+    shard_batch,
+)
+from .precision import Policy, get_policy
+from .prng import RngStreams, per_sample_keys
+
+__all__ = [
+    "DATA_AXIS", "MODEL_AXIS", "create_mesh", "batch_sharding",
+    "replicated_sharding", "shard_batch", "replicate", "pad_batch_to_multiple",
+    "Policy", "get_policy", "RngStreams", "per_sample_keys",
+]

@@ -1,0 +1,102 @@
+"""Device mesh and sharding utilities.
+
+The reference is single-process/single-device (trainer.py:121,
+utils/config.py:354-375); data parallelism here is a first-class TPU-native
+layer: a 1-D ``jax.sharding.Mesh`` over all local (or all global) devices,
+batch dims sharded over the ``data`` axis, parameters replicated, gradients
+and metric accumulators reduced by XLA collectives inserted automatically
+under ``jit`` with NamedSharding constraints.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
+
+DATA_AXIS = 'data'
+MODEL_AXIS = 'model'
+
+
+def create_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    mesh_shape: Any = 'auto',
+) -> Mesh:
+    """Create the device mesh.
+
+    Args:
+        devices: devices to use (default: all ``jax.devices()``).
+        mesh_shape: 'auto' → 1-D ``('data',)`` mesh over every device;
+            or a dict like ``{'data': 4, 'model': 2}`` for a 2-D mesh.
+
+    Returns:
+        ``jax.sharding.Mesh``
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if mesh_shape in (None, 'auto'):
+        dev_array = np.asarray(devices)
+        return Mesh(dev_array, axis_names=(DATA_AXIS,))
+    if isinstance(mesh_shape, dict):
+        axis_names = tuple(mesh_shape.keys())
+        sizes = tuple(int(v) for v in mesh_shape.values())
+        total = int(np.prod(sizes))
+        if total != len(devices):
+            raise ValueError(
+                f"mesh_shape {mesh_shape} needs {total} devices, have {len(devices)}"
+            )
+        dev_array = np.asarray(devices).reshape(sizes)
+        return Mesh(dev_array, axis_names=axis_names)
+    raise ValueError(f"Unsupported mesh_shape: {mesh_shape!r}")
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for arrays whose leading axis is the batch: shard over 'data'."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    """Fully replicated sharding (parameters, scalars, metric accumulators)."""
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Place a host-side batch PyTree onto the mesh, sharded on the batch axis.
+
+    Every leaf is assumed to have the (global) batch as its leading axis.
+    """
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    """Replicate a PyTree (e.g. params / train state) across the mesh."""
+    sharding = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def pad_batch_to_multiple(batch: Any, multiple: int) -> tuple[Any, int]:
+    """Pad the leading axis of every leaf up to a multiple of ``multiple``.
+
+    Returns (padded_batch, original_batch_size). Needed so a global batch
+    divides evenly over the data axis; callers mask out padded rows in
+    metric accumulation.
+    """
+    leaves = jax.tree_util.tree_leaves(batch)
+    if not leaves:
+        return batch, 0
+    n = leaves[0].shape[0]
+    rem = n % multiple
+    if rem == 0:
+        return batch, n
+    pad = multiple - rem
+
+    def _pad(x):
+        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return np.pad(np.asarray(x), widths, mode='edge')
+
+    return jax.tree_util.tree_map(_pad, batch), n

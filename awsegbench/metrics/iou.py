@@ -1,0 +1,94 @@
+"""IoU metrics — on-device confusion-matrix accumulation.
+
+TPU-native re-design of the reference ``IoUMetrics``
+(evaluation/metrics.py:15-123). The reference materializes whole-test-set
+prediction tensors on CPU and builds the confusion matrix with
+``index_add_``; here the [C, C] confusion matrix is a tiny on-device
+accumulator updated per batch inside jit (and ``psum``-reducible across a
+mesh), with IoU derived from it at sweep end — no per-batch host syncs.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def confusion_matrix(predictions: jax.Array, targets: jax.Array,
+                     num_classes: int, ignore_index: int = 255,
+                     sample_mask: jax.Array | None = None) -> jax.Array:
+    """Confusion matrix [C, C] (rows = target, cols = prediction).
+
+    Matches reference metrics.py:62-71: flattened ``targets*C + preds``
+    scatter-add over non-ignored pixels. ``sample_mask`` ([B] bool) zeroes
+    out padding rows added for even device sharding.
+    """
+    if predictions.ndim == targets.ndim + 1:
+        predictions = jnp.argmax(predictions, axis=1)
+
+    preds = predictions.reshape(-1).astype(jnp.int32)
+    tgts = targets.reshape(-1).astype(jnp.int32)
+    valid = tgts != ignore_index
+    if sample_mask is not None:
+        per_sample = int(np.prod(targets.shape[1:])) if targets.ndim > 1 else 1
+        valid = valid & jnp.repeat(sample_mask.astype(bool), per_sample)
+
+    # keep ignored pixels in-range but weight them 0
+    tgts_safe = jnp.clip(tgts, 0, num_classes - 1)
+    preds_safe = jnp.clip(preds, 0, num_classes - 1)
+    idx = tgts_safe * num_classes + preds_safe
+    cm = jnp.zeros((num_classes * num_classes,), dtype=jnp.float32)
+    cm = cm.at[idx].add(valid.astype(jnp.float32))
+    return cm.reshape(num_classes, num_classes)
+
+
+def iou_from_confusion(cm: jax.Array) -> Dict[str, jax.Array]:
+    """Per-class IoU + mean over classes with nonzero union (metrics.py:73-89)."""
+    intersection = jnp.diag(cm)
+    union = cm.sum(axis=0) + cm.sum(axis=1) - intersection
+    valid_classes = union > 0
+    per_class_iou = jnp.where(valid_classes, intersection / jnp.maximum(union, 1.0), 0.0)
+    n_valid = jnp.sum(valid_classes)
+    mean_iou = jnp.where(n_valid > 0, jnp.sum(per_class_iou) / jnp.maximum(n_valid, 1), 0.0)
+    return {
+        'mean_iou': mean_iou,
+        'per_class_iou': per_class_iou,
+        'valid_classes': valid_classes,
+    }
+
+
+def pixel_accuracy_from_confusion(cm: jax.Array) -> jax.Array:
+    total = jnp.sum(cm)
+    return jnp.where(total > 0, jnp.trace(cm) / jnp.maximum(total, 1.0), 0.0)
+
+
+class IoUMetrics:
+    """Reference-compatible facade (metrics.py:15-123)."""
+
+    def __init__(self, num_classes: int, ignore_index: int = 255) -> None:
+        self.num_classes = num_classes
+        self.ignore_index = ignore_index
+
+    def compute_iou(self, predictions, targets) -> Dict[str, object]:
+        preds = jnp.asarray(predictions)
+        tgts = jnp.asarray(targets)
+        cm = confusion_matrix(preds, tgts, self.num_classes, self.ignore_index)
+        out = iou_from_confusion(cm)
+        return {
+            'mean_iou': float(out['mean_iou']),
+            'per_class_iou': np.asarray(out['per_class_iou']),
+            'valid_classes': np.asarray(out['valid_classes']),
+        }
+
+    def compute_pixel_accuracy(self, predictions, targets) -> float:
+        preds = jnp.asarray(predictions)
+        tgts = jnp.asarray(targets)
+        if preds.ndim == tgts.ndim + 1:
+            preds = jnp.argmax(preds, axis=1)
+        valid = tgts != self.ignore_index
+        correct = jnp.sum((preds == tgts) & valid)
+        total = jnp.sum(valid)
+        return float(jnp.where(total > 0, correct / jnp.maximum(total, 1), 0.0))

@@ -1,0 +1,153 @@
+"""Image filtering primitives in pure JAX (XLA-fused).
+
+These replace the reference's OpenCV/scipy CPU calls
+(preprocessing.py:166,200,243,276-277,357: ``cv2.GaussianBlur``,
+``scipy.ndimage.gaussian_filter``, ``cv2.filter2D`` box filter,
+``cv2.Laplacian``) with batched on-device convolutions. All filters operate
+on NHWC float arrays; boundary handling matches the originals:
+
+* OpenCV default border = BORDER_REFLECT_101 → ``jnp.pad(mode='reflect')``
+* scipy.ndimage default mode='reflect' (edge included) → ``mode='symmetric'``
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Literal
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BoundaryMode = Literal['reflect', 'symmetric', 'edge']
+
+
+def gaussian_kernel1d_scipy(sigma: float, radius: int | None = None) -> np.ndarray:
+    """Gaussian taps identical to scipy.ndimage._gaussian_kernel1d (truncate=4)."""
+    if radius is None:
+        radius = int(4.0 * sigma + 0.5)
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    phi = np.exp(-0.5 / (sigma * sigma) * x ** 2)
+    return (phi / phi.sum()).astype(np.float32)
+
+
+def gaussian_kernel1d_cv(ksize: int, sigma: float) -> np.ndarray:
+    """Gaussian taps identical to cv2.getGaussianKernel(ksize, sigma)."""
+    if sigma <= 0:
+        sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
+    x = np.arange(ksize, dtype=np.float64) - (ksize - 1) * 0.5
+    phi = np.exp(-(x ** 2) / (2.0 * sigma * sigma))
+    return (phi / phi.sum()).astype(np.float32)
+
+
+def _depthwise_conv_axis(x: jax.Array, taps: jax.Array, axis: int,
+                         mode: BoundaryMode) -> jax.Array:
+    """Depthwise 1-D correlation along H (axis=1) or W (axis=2) of NHWC x."""
+    k = taps.shape[0]
+    pad = k // 2
+    pad_widths = [(0, 0)] * 4
+    pad_widths[axis] = (pad, pad)
+    xp = jnp.pad(x, pad_widths, mode=mode)
+    c = x.shape[-1]
+    if axis == 1:
+        kernel = taps.reshape(k, 1, 1, 1)
+    else:
+        kernel = taps.reshape(1, k, 1, 1)
+    kernel = jnp.tile(kernel, (1, 1, 1, c)).astype(x.dtype)
+    return jax.lax.conv_general_dilated(
+        xp, kernel,
+        window_strides=(1, 1), padding='VALID',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        feature_group_count=c,
+    )
+
+
+def separable_filter(x: jax.Array, taps_h: jax.Array, taps_w: jax.Array,
+                     mode: BoundaryMode = 'reflect') -> jax.Array:
+    """Apply a separable filter (rows then cols) to NHWC ``x``."""
+    y = _depthwise_conv_axis(x, jnp.asarray(taps_h), axis=1, mode=mode)
+    y = _depthwise_conv_axis(y, jnp.asarray(taps_w), axis=2, mode=mode)
+    return y
+
+
+def gaussian_blur_cv(x: jax.Array, ksize: int, sigma: float) -> jax.Array:
+    """cv2.GaussianBlur(img, (ksize, ksize), sigma) on NHWC batches."""
+    taps = jnp.asarray(gaussian_kernel1d_cv(ksize, sigma))
+    return separable_filter(x, taps, taps, mode='reflect')
+
+
+def gaussian_filter_scipy(x: jax.Array, sigma: float) -> jax.Array:
+    """scipy.ndimage.gaussian_filter(img, sigma) on NHWC batches."""
+    taps = jnp.asarray(gaussian_kernel1d_scipy(sigma))
+    return separable_filter(x, taps, taps, mode='symmetric')
+
+
+def box_filter(x: jax.Array, ksize: int = 5) -> jax.Array:
+    """cv2.filter2D with a normalized ksize×ksize ones kernel (local mean).
+
+    Direct (non-separable) 2-D conv: matches cv2's direct filtering to fp32
+    epsilon, where a separable two-pass 1/k·1/k would double-round.
+    """
+    c = x.shape[-1]
+    pad = ksize // 2
+    xp = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad), (0, 0)], mode='reflect')
+    kernel = jnp.full((ksize, ksize, 1, 1), 1.0 / (ksize * ksize), dtype=x.dtype)
+    kernel = jnp.tile(kernel, (1, 1, 1, c))
+    return jax.lax.conv_general_dilated(
+        xp, kernel, window_strides=(1, 1), padding='VALID',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        feature_group_count=c,
+    )
+
+
+_LAPLACIAN_K1 = np.array([[0, 1, 0], [1, -4, 1], [0, 1, 0]], dtype=np.float32)
+
+
+def laplacian(x: jax.Array) -> jax.Array:
+    """cv2.Laplacian(gray, ksize=1) on NHWC (usually C=1) batches."""
+    c = x.shape[-1]
+    pad_widths = [(0, 0), (1, 1), (1, 1), (0, 0)]
+    xp = jnp.pad(x, pad_widths, mode='reflect')
+    kernel = jnp.asarray(_LAPLACIAN_K1).reshape(3, 3, 1, 1)
+    kernel = jnp.tile(kernel, (1, 1, 1, c)).astype(x.dtype)
+    return jax.lax.conv_general_dilated(
+        xp, kernel, window_strides=(1, 1), padding='VALID',
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
+        feature_group_count=c,
+    )
+
+
+def rgb_to_gray_cv(x: jax.Array) -> jax.Array:
+    """cv2.cvtColor(RGB2GRAY) weights: 0.299 R + 0.587 G + 0.114 B.
+
+    Input NHWC RGB, output NHW1. (preprocessing.py:271,336)
+    """
+    w = jnp.asarray([0.299, 0.587, 0.114], dtype=x.dtype)
+    return jnp.sum(x * w, axis=-1, keepdims=True)
+
+
+def rgb_to_gray_cv_u8(x_u8: jax.Array) -> jax.Array:
+    """Bit-exact cv2.cvtColor(RGB2GRAY) on uint8: fixed-point
+    (R·4899 + G·9617 + B·1868 + 2^13) >> 14. Input NHWC uint8, output NHW1 uint8.
+    """
+    xi = x_u8.astype(jnp.int32)
+    g = (xi[..., 0] * 4899 + xi[..., 1] * 9617 + xi[..., 2] * 1868 + (1 << 13)) >> 14
+    return g.astype(jnp.uint8)[..., None]
+
+
+def local_contrast(gray: jax.Array, ksize: int = 5) -> jax.Array:
+    """Local contrast = sqrt(boxmean((g - boxmean(g))^2)).
+
+    Mirrors reference preprocessing.py:274-278 (5×5 box filter variance).
+    Input/output NHW1.
+    """
+    mean = box_filter(gray, ksize)
+    var = box_filter((gray - mean) ** 2, ksize)
+    return jnp.sqrt(var)
+
+
+@functools.partial(jax.jit, static_argnames=('q',))
+def percentile(x: jax.Array, q: float) -> jax.Array:
+    """np.percentile with linear interpolation over the flattened array."""
+    return jnp.percentile(x.reshape(-1), q)

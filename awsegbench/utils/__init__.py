@@ -1,0 +1,21 @@
+"""Utility functions and configuration management."""
+
+from .config import (
+    Config,
+    create_default_config,
+    get_device_config,
+    load_config,
+    save_config,
+    setup_logging,
+    validate_config,
+)
+
+__all__ = [
+    "Config",
+    "load_config",
+    "save_config",
+    "create_default_config",
+    "validate_config",
+    "setup_logging",
+    "get_device_config",
+]

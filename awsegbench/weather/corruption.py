@@ -1,0 +1,369 @@
+"""Batched on-device weather corruption engine.
+
+TPU-native re-design of the reference weather synthesis
+(/root/reference/src/.../data/preprocessing.py:15-288). The reference draws
+rain streaks / snow flakes with sequential ``cv2.line``/``cv2.circle`` calls
+per sample inside DataLoader workers — its CPU bottleneck. Here every
+corruption is a pure, jittable, batched function over ``[B, H, W, 3]``
+images keyed by ``jax.random`` keys:
+
+* fog   — Koschmieder scattering I·e^(−βd) + A(1−e^(−βd)) with synthetic
+          depth (vertical gradient ×100 + N(0,10), Gaussian σ=2, floor 1.0)
+          exactly as preprocessing.py:94-123, 227-248.
+* rain  — haze blend + data-parallel streak splat (union of
+          distance-to-segment coverage masks over up to 500 sampled drops)
+          + 3×3 Gaussian blur σ=0.5, per preprocessing.py:125-168.
+* snow  — brightness boost + circle splat (50–200 flakes) + random 3/7
+          Gaussian blur σ=1.0, per preprocessing.py:170-202.
+* night — brightness scale, channel shift (r×0.8, g×0.85, b×1.2), Gaussian
+          noise, per preprocessing.py:204-225.
+
+Parameter *distributions* match the reference exactly; the streak/flake
+rasterization is a distance-field splat rather than OpenCV's scanline
+rasterizer (documented deviation — parity is at the distribution level, see
+SURVEY.md §7 "Hard parts"). Outputs are quantized to uint8 exactly like the
+reference's ``(clip(x,0,1)*255).astype(uint8)`` truncation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.filters import (
+    gaussian_blur_cv,
+    gaussian_filter_scipy,
+    local_contrast,
+    rgb_to_gray_cv_u8,
+)
+
+WEATHER_CONDITIONS = ('clean', 'fog', 'rain', 'snow', 'night')
+WEATHER_IDS = {name: i for i, name in enumerate(WEATHER_CONDITIONS)}
+
+# Parameter tables — preprocessing.py:33-57.
+FOG_PARAMS = {'beta_range': (0.005, 0.05), 'A_range': (0.7, 1.0), 'depth_scale': 100.0}
+RAIN_PARAMS = {
+    'intensity_range': (0.1, 0.8),
+    'drop_size_values': (1, 3),     # np.random.choice over the 2-tuple (1, 3)
+    'angle_range': (-15.0, 15.0),
+    'num_drops_range': (100, 500),
+    'length_range': (5, 20),        # np.random.randint(5, 20)
+    'color': (0.8, 0.9, 1.0),
+}
+SNOW_PARAMS = {
+    'intensity_range': (0.1, 0.7),
+    'flake_size_values': (2, 8),    # np.random.choice over the 2-tuple (2, 8)
+    'num_flakes_range': (50, 200),
+    'blur_kernel_values': (3, 7),   # np.random.choice over the 2-tuple (3, 7)
+}
+NIGHT_PARAMS = {
+    'brightness_reduction': (0.2, 0.6),
+    'color_shift': (0.8, 0.85, 1.2),
+    'noise_std': 5.0,
+}
+# Default per-call intensity ranges when intensity is None
+# (preprocessing.py:108, :128, :173, :207).
+DEFAULT_INTENSITY = {
+    'fog': (0.3, 0.9),
+    'rain': (0.2, 0.8),
+    'snow': (0.2, 0.7),
+    'night': (0.4, 0.8),
+}
+
+MAX_RAIN_DROPS = 500
+MAX_SNOW_FLAKES = 200
+_SPLAT_CHUNK = 20
+
+
+def quantize_uint8(x: jax.Array) -> jax.Array:
+    """(clip(x, 0, 1) * 255).astype(uint8) — truncation like numpy astype."""
+    return (jnp.clip(x, 0.0, 1.0) * 255.0).astype(jnp.uint8)
+
+
+def synthetic_depth(key: jax.Array, height: int, width: int) -> jax.Array:
+    """Synthetic depth map for fog (preprocessing.py:227-248).
+
+    depth = gaussian_filter(y/h*100 + N(0,10), σ=2), floored at 1.0.
+    Returns [H, W] float32.
+    """
+    y = jnp.arange(height, dtype=jnp.float32)[:, None] / height
+    base = y * FOG_PARAMS['depth_scale']
+    noise = jax.random.normal(key, (height, width), dtype=jnp.float32) * 10.0
+    depth = jnp.broadcast_to(base, (height, width)) + noise
+    depth = gaussian_filter_scipy(depth[None, :, :, None], sigma=2.0)[0, :, :, 0]
+    return jnp.maximum(depth, 1.0)
+
+
+def _resolve_intensity(key: jax.Array, weather: str,
+                       intensity: Optional[jax.Array]) -> jax.Array:
+    if intensity is not None:
+        return jnp.asarray(intensity, dtype=jnp.float32)
+    lo, hi = DEFAULT_INTENSITY[weather]
+    return jax.random.uniform(key, (), minval=lo, maxval=hi)
+
+
+# ---------------------------------------------------------------------------
+# fog
+# ---------------------------------------------------------------------------
+
+def apply_fog(image: jax.Array, key: jax.Array,
+              intensity: Optional[jax.Array] = None) -> jax.Array:
+    """Fog on one [H, W, 3] float image in [0,1]. preprocessing.py:94-123."""
+    h, w = image.shape[:2]
+    k_int, k_depth = jax.random.split(key)
+    i = _resolve_intensity(k_int, 'fog', intensity)
+    depth = synthetic_depth(k_depth, h, w)
+    beta_min, beta_max = FOG_PARAMS['beta_range']
+    a_min, a_max = FOG_PARAMS['A_range']
+    beta = beta_min + i * (beta_max - beta_min)
+    a = a_min + i * (a_max - a_min)
+    transmission = jnp.exp(-beta * depth)[..., None]
+    return image * transmission + a * (1.0 - transmission)
+
+
+# ---------------------------------------------------------------------------
+# splat rasterization (rain streaks / snow flakes)
+# ---------------------------------------------------------------------------
+
+def _segment_coverage(h: int, w: int, ax, ay, bx, by, radius, valid) -> jax.Array:
+    """Union coverage mask of N capsule segments over an H×W grid.
+
+    For each pixel P and segment AB with half-width r:
+    covered iff dist(P, AB)² ≤ r². Chunked over segments to bound memory;
+    this is the data-parallel reformulation of the reference's sequential
+    cv2.line loop (preprocessing.py:142-163).
+    Returns [H, W] bool.
+    """
+    n = ax.shape[0]
+    pad = (-n) % _SPLAT_CHUNK
+    def _pad(v):
+        return jnp.pad(v, (0, pad))
+    ax, ay, bx, by = _pad(ax), _pad(ay), _pad(bx), _pad(by)
+    radius = _pad(radius)
+    valid = jnp.pad(valid, (0, pad), constant_values=False)
+    n_chunks = (n + pad) // _SPLAT_CHUNK
+
+    px = jnp.arange(w, dtype=jnp.float32)[None, :]   # [1, W]
+    py = jnp.arange(h, dtype=jnp.float32)[:, None]   # [H, 1]
+
+    def one_segment(p):
+        sax, say, sbx, sby, r, v = p
+        dx, dy = sbx - sax, sby - say
+        len2 = dx * dx + dy * dy
+        # projection parameter clamped to [0, 1]; degenerate segment → point
+        t = jnp.where(len2 > 0, ((px - sax) * dx + (py - say) * dy) / jnp.maximum(len2, 1e-8), 0.0)
+        t = jnp.clip(t, 0.0, 1.0)
+        cx = sax + t * dx
+        cy = say + t * dy
+        d2 = (px - cx) ** 2 + (py - cy) ** 2
+        return jnp.logical_and(d2 <= r * r, v)
+
+    params = (
+        ax.reshape(n_chunks, _SPLAT_CHUNK),
+        ay.reshape(n_chunks, _SPLAT_CHUNK),
+        bx.reshape(n_chunks, _SPLAT_CHUNK),
+        by.reshape(n_chunks, _SPLAT_CHUNK),
+        radius.reshape(n_chunks, _SPLAT_CHUNK),
+        valid.reshape(n_chunks, _SPLAT_CHUNK),
+    )
+
+    def body(carry, chunk):
+        masks = jax.vmap(one_segment)(chunk)          # [chunk, H, W]
+        return jnp.logical_or(carry, jnp.any(masks, axis=0)), None
+
+    init = jnp.zeros((h, w), dtype=bool)
+    cov, _ = jax.lax.scan(body, init, params)
+    return cov
+
+
+def apply_rain(image: jax.Array, key: jax.Array,
+               intensity: Optional[jax.Array] = None) -> jax.Array:
+    """Rain on one [H, W, 3] float image in [0,1]. preprocessing.py:125-168."""
+    h, w = image.shape[:2]
+    keys = jax.random.split(key, 7)
+    i = _resolve_intensity(keys[0], 'rain', intensity)
+
+    # atmospheric haze (preprocessing.py:134-135)
+    haze = i * 0.3
+    out = image * (1.0 - haze) + haze * 0.7
+
+    lo, hi = RAIN_PARAMS['num_drops_range']
+    num_drops = (lo + i * (hi - lo)).astype(jnp.int32)
+
+    n = MAX_RAIN_DROPS
+    x = jax.random.randint(keys[1], (n,), 0, w).astype(jnp.float32)
+    y = jax.random.randint(keys[2], (n,), 0, h).astype(jnp.float32)
+    length = jax.random.randint(keys[3], (n,), *RAIN_PARAMS['length_range']).astype(jnp.float32)
+    thick_choice = jax.random.bernoulli(keys[4], 0.5, (n,))
+    t0, t1 = RAIN_PARAMS['drop_size_values']
+    thickness = jnp.where(thick_choice, float(t1), float(t0))
+    angle = jax.random.uniform(keys[5], (n,), minval=RAIN_PARAMS['angle_range'][0],
+                               maxval=RAIN_PARAMS['angle_range'][1])
+    rad = jnp.deg2rad(angle)
+    # int() truncation of endpoints, then clip to bounds (preprocessing.py:151-156)
+    ex = jnp.clip(jnp.trunc(x + length * jnp.sin(rad)), 0, w - 1)
+    ey = jnp.clip(jnp.trunc(y + length * jnp.cos(rad)), 0, h - 1)
+
+    idx = jnp.arange(n)
+    valid = idx < num_drops
+    cov = _segment_coverage(h, w, x, y, ex, ey, thickness / 2.0, valid)
+
+    color = jnp.asarray(RAIN_PARAMS['color'], dtype=out.dtype)
+    out = jnp.where(cov[..., None], color, out)
+
+    # 3×3 Gaussian blur σ=0.5 (preprocessing.py:166)
+    out = gaussian_blur_cv(out[None], ksize=3, sigma=0.5)[0]
+    return out
+
+
+def apply_snow(image: jax.Array, key: jax.Array,
+               intensity: Optional[jax.Array] = None) -> jax.Array:
+    """Snow on one [H, W, 3] float image in [0,1]. preprocessing.py:170-202."""
+    h, w = image.shape[:2]
+    keys = jax.random.split(key, 6)
+    i = _resolve_intensity(keys[0], 'snow', intensity)
+
+    out = jnp.clip(image + i * 0.2, 0.0, 1.0)  # brightness boost (:179-180)
+
+    lo, hi = SNOW_PARAMS['num_flakes_range']
+    num_flakes = (lo + i * (hi - lo)).astype(jnp.int32)
+
+    n = MAX_SNOW_FLAKES
+    x = jax.random.randint(keys[1], (n,), 0, w).astype(jnp.float32)
+    y = jax.random.randint(keys[2], (n,), 0, h).astype(jnp.float32)
+    s0, s1 = SNOW_PARAMS['flake_size_values']
+    size = jnp.where(jax.random.bernoulli(keys[3], 0.5, (n,)), float(s1), float(s0))
+
+    idx = jnp.arange(n)
+    valid = idx < num_flakes
+    # circles = zero-length capsules of radius `size`
+    cov = _segment_coverage(h, w, x, y, x, y, size, valid)
+    out = jnp.where(cov[..., None], 1.0, out)
+
+    # random blur kernel ∈ {3, 7}, σ=1.0 (preprocessing.py:196-200)
+    use7 = jax.random.bernoulli(keys[4], 0.5, ())
+    blur3 = gaussian_blur_cv(out[None], ksize=3, sigma=1.0)[0]
+    blur7 = gaussian_blur_cv(out[None], ksize=7, sigma=1.0)[0]
+    return jnp.where(use7, blur7, blur3)
+
+
+def apply_night(image: jax.Array, key: jax.Array,
+                intensity: Optional[jax.Array] = None) -> jax.Array:
+    """Night on one [H, W, 3] float image in [0,1]. preprocessing.py:204-225."""
+    keys = jax.random.split(key, 3)
+    i = _resolve_intensity(keys[0], 'night', intensity)
+    lo, hi = NIGHT_PARAMS['brightness_reduction']
+    brightness_factor = 1.0 - i * jax.random.uniform(keys[1], (), minval=lo, maxval=hi)
+    out = image * brightness_factor
+    shift = jnp.asarray(NIGHT_PARAMS['color_shift'], dtype=out.dtype)
+    out = out * shift
+    noise = jax.random.normal(keys[2], image.shape, dtype=jnp.float32) * (
+        NIGHT_PARAMS['noise_std'] / 255.0)
+    return out + noise * i * 0.5
+
+
+# ---------------------------------------------------------------------------
+# dispatch
+# ---------------------------------------------------------------------------
+
+_BRANCHES = (apply_fog, apply_rain, apply_snow, apply_night)
+
+
+def _apply_one(image_u8: jax.Array, weather_id: jax.Array, key: jax.Array,
+               intensity: Optional[jax.Array]) -> jax.Array:
+    """Single-image dispatch over weather id (0=clean..4=night) → uint8."""
+    img_f = image_u8.astype(jnp.float32) / 255.0
+
+    def make_branch(fn):
+        return lambda: quantize_uint8(fn(img_f, key, intensity))
+
+    corrupted = jax.lax.switch(
+        jnp.clip(weather_id - 1, 0, 3),
+        [make_branch(fn) for fn in _BRANCHES],
+    )
+    # clean passthrough is bit-exact (preprocessing.py:78-79)
+    return jnp.where(weather_id == 0, image_u8, corrupted)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def corrupt_batch(images: jax.Array, weather_ids: jax.Array,
+                  keys: jax.Array) -> jax.Array:
+    """Corrupt a mixed-weather batch.
+
+    Args:
+        images: [B, H, W, 3] uint8.
+        weather_ids: [B] int32 in [0, 5) per WEATHER_IDS.
+        keys: [B] PRNG keys (shape [B, 2] uint32).
+
+    Returns [B, H, W, 3] uint8. One compiled program handles mixed batches
+    (SURVEY.md §7 "Dynamic shapes / per-sample weather").
+    """
+    return jax.vmap(lambda im, wid, k: _apply_one(im, wid, k, None))(
+        images, weather_ids, keys)
+
+
+def corrupt_batch_static(images: jax.Array, weather: str, keys: jax.Array,
+                         intensity: Optional[jax.Array] = None) -> jax.Array:
+    """Corrupt a batch with one static weather type (eval-sweep fast path).
+
+    Only the selected corruption branch is traced/compiled — used by the
+    per-weather robustness sweep where weather is known per pass.
+    """
+    if weather == 'clean':
+        return images
+    fn = _BRANCHES[WEATHER_IDS[weather] - 1]
+
+    def one(im, k):
+        img_f = im.astype(jnp.float32) / 255.0
+        return quantize_uint8(fn(img_f, k, intensity))
+
+    return jax.vmap(one)(images, keys)
+
+
+def apply_weather_effect(image: jax.Array, weather_type: str,
+                         key: jax.Array,
+                         intensity: Optional[float] = None) -> jax.Array:
+    """Single-image API mirroring the reference
+    ``WeatherDegradationTransforms.apply_weather_effect``
+    (preprocessing.py:61-92). Input/output uint8 [H, W, 3].
+    """
+    if weather_type == 'clean':
+        return image
+    if weather_type not in WEATHER_IDS:
+        raise ValueError(f"Unknown weather type: {weather_type}")
+    fn = _BRANCHES[WEATHER_IDS[weather_type] - 1]
+    img_f = image.astype(jnp.float32) / 255.0
+    inten = None if intensity is None else jnp.float32(intensity)
+    return quantize_uint8(fn(img_f, key, inten))
+
+
+def fog_density_map(image: jax.Array, key: jax.Array,
+                    depth: Optional[jax.Array] = None) -> jax.Array:
+    """Fog density for the fog-density-aware loss (preprocessing.py:250-288).
+
+    Args:
+        image: [H, W, 3] float in [0, 1], or uint8 (used directly, skipping
+            the reference's lossy float→uint8 round-trip — bit-identical when
+            the float image came from a uint8 source).
+        key: PRNG key (used only when depth is None, for synthetic depth).
+        depth: optional [H, W] depth map.
+
+    Returns [H, W] float in [0, 1]: (1 − contrast/p95(contrast)) ·
+    (0.3 + 0.7·depth/max(depth)), clipped.
+    """
+    h, w = image.shape[:2]
+    if depth is None:
+        depth = synthetic_depth(key, h, w)
+
+    gray_u8 = image if image.dtype == jnp.uint8 else quantize_uint8(image)
+    gray = rgb_to_gray_cv_u8(gray_u8[None]).astype(jnp.float32)[..., 0] / 255.0  # [1, H, W]
+    contrast = local_contrast(gray[..., None], ksize=5)[0, :, :, 0]
+
+    max_contrast = jnp.percentile(contrast.reshape(-1), 95.0)
+    fog_density = 1.0 - contrast / (max_contrast + 1e-8)
+    normalized_depth = depth / jnp.max(depth)
+    fog_density = fog_density * (0.3 + 0.7 * normalized_depth)
+    return jnp.clip(fog_density, 0.0, 1.0)
