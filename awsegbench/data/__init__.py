@@ -1,0 +1,15 @@
+"""Data loading: host scanners + synthetic fallback, device-side pipeline."""
+
+from .dataset import CITYSCAPES_CLASSES, CityscapesKITTIDataset
+from .pipeline import (
+    IMAGENET_MEAN,
+    IMAGENET_STD,
+    BatchIterator,
+    normalize_imagenet,
+    prepare_batch,
+)
+
+__all__ = [
+    "CityscapesKITTIDataset", "CITYSCAPES_CLASSES", "BatchIterator",
+    "prepare_batch", "normalize_imagenet", "IMAGENET_MEAN", "IMAGENET_STD",
+]

@@ -1,0 +1,213 @@
+"""Dataset layer: Cityscapes/KITTI scanners + synthetic fallback.
+
+Host-side re-design of the reference ``CityscapesKITTIDataset``
+(loader.py:23-293). The crucial architectural shift: the host only scans,
+decodes and resizes images — weather corruption and depth estimation move
+on-device into the jitted step (see ``device_pipeline``), eliminating the
+reference's per-sample OpenCV hot path (SURVEY.md §3.2).
+
+Behavioral contract preserved:
+* directory layouts: cityscapes ``leftImg8bit/gtFine`` pairs
+  (loader.py:109-138), KITTI ``training/image_2 + semantic``
+  (loader.py:140-163);
+* synthetic fallback of 100 train / 20 val-test random samples when no real
+  data is found (loader.py:165-179);
+* silent fallback to random arrays on any image/label read failure
+  (loader.py:202-250);
+* per-__getitem__ fresh uniform weather choice (loader.py:265).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..weather.corruption import WEATHER_IDS
+
+logger = logging.getLogger(__name__)
+
+try:
+    import cv2
+    _CV2_AVAILABLE = True
+except ImportError:  # pragma: no cover
+    _CV2_AVAILABLE = False
+
+
+# Cityscapes class mapping (34 raw ids) — loader.py:32-42
+CITYSCAPES_CLASSES = {
+    0: 'unlabeled', 1: 'ego vehicle', 2: 'rectification border',
+    3: 'out of roi', 4: 'static', 5: 'dynamic', 6: 'ground',
+    7: 'road', 8: 'sidewalk', 9: 'parking', 10: 'rail track',
+    11: 'building', 12: 'wall', 13: 'fence', 14: 'guard rail',
+    15: 'bridge', 16: 'tunnel', 17: 'pole', 18: 'polegroup',
+    19: 'traffic light', 20: 'traffic sign', 21: 'vegetation',
+    22: 'terrain', 23: 'sky', 24: 'person', 25: 'rider',
+    26: 'car', 27: 'truck', 28: 'bus', 29: 'caravan',
+    30: 'trailer', 31: 'train', 32: 'motorcycle', 33: 'bicycle',
+}
+
+
+class CityscapesKITTIDataset:
+    """Combined dataset with weather-id sampling and synthetic fallback.
+
+    ``__getitem__`` returns a host-side numpy dict
+    ``{image: uint8 [H,W,3], label: int32 [H,W], weather_id: int,
+       weather_condition: str, dataset: str}``. Weather corruption itself
+    happens on device (device_pipeline.prepare_batch).
+    """
+
+    def __init__(
+        self,
+        data_root: str,
+        split: str = 'train',
+        image_size: Tuple[int, int] = (512, 1024),
+        weather_conditions: Optional[List[str]] = None,
+        apply_augmentation: bool = True,
+        include_depth: bool = True,
+        dataset_type: str = 'cityscapes',
+        seed: Optional[int] = None,
+        **kwargs,
+    ) -> None:
+        self.data_root = Path(data_root)
+        self.split = split
+        self.image_size = tuple(image_size)
+        self.weather_conditions = weather_conditions or list(WEATHER_IDS.keys())
+        self.apply_augmentation = apply_augmentation
+        self.include_depth = include_depth
+        self.dataset_type = dataset_type
+        self._rng = np.random.default_rng(seed)
+
+        self.samples = self._load_samples()
+        logger.info(f"Loaded {len(self.samples)} samples from "
+                    f"{dataset_type} dataset ({split} split)")
+
+    # -- scanning -----------------------------------------------------------
+
+    def _load_samples(self) -> List[Dict[str, str]]:
+        samples: List[Dict[str, str]] = []
+        if self.dataset_type in ('cityscapes', 'combined'):
+            samples.extend(self._load_cityscapes_samples())
+        if self.dataset_type in ('kitti', 'combined'):
+            samples.extend(self._load_kitti_samples())
+        if not samples:
+            samples = self._generate_synthetic_samples()
+        return samples
+
+    def _load_cityscapes_samples(self) -> List[Dict[str, str]]:
+        samples: List[Dict[str, str]] = []
+        root = self.data_root / 'cityscapes'
+        if not root.exists():
+            logger.warning(f"Cityscapes data not found at {root}")
+            return []
+        images_dir = root / 'leftImg8bit' / self.split
+        labels_dir = root / 'gtFine' / self.split
+        if images_dir.exists() and labels_dir.exists():
+            for city_dir in sorted(images_dir.iterdir()):
+                if not city_dir.is_dir():
+                    continue
+                for img_file in sorted(city_dir.glob('*_leftImg8bit.png')):
+                    label_file = labels_dir / city_dir.name / img_file.name.replace(
+                        '_leftImg8bit.png', '_gtFine_labelIds.png')
+                    if label_file.exists():
+                        samples.append({
+                            'image': str(img_file),
+                            'label': str(label_file),
+                            'dataset': 'cityscapes',
+                            'city': city_dir.name,
+                        })
+        return samples
+
+    def _load_kitti_samples(self) -> List[Dict[str, str]]:
+        samples: List[Dict[str, str]] = []
+        root = self.data_root / 'kitti'
+        if not root.exists():
+            logger.warning(f"KITTI data not found at {root}")
+            return []
+        images_dir = root / 'training' / 'image_2'
+        labels_dir = root / 'training' / 'semantic'
+        if images_dir.exists() and labels_dir.exists():
+            for img_file in sorted(images_dir.glob('*.png')):
+                label_file = labels_dir / img_file.name
+                if label_file.exists():
+                    samples.append({
+                        'image': str(img_file),
+                        'label': str(label_file),
+                        'dataset': 'kitti',
+                    })
+        return samples
+
+    def _generate_synthetic_samples(self) -> List[Dict[str, str]]:
+        """100 train / 20 val-test synthetic placeholders (loader.py:165-179)."""
+        num_samples = 100 if self.split == 'train' else 20
+        samples = [{
+            'image': f'synthetic_image_{i}.png',
+            'label': f'synthetic_label_{i}.png',
+            'dataset': 'synthetic',
+            'synthetic': True,
+        } for i in range(num_samples)]
+        logger.info(f"Generated {len(samples)} synthetic samples for testing")
+        return samples
+
+    # -- loading ------------------------------------------------------------
+
+    def _load_image(self, image_path: str) -> np.ndarray:
+        h, w = self.image_size
+        if 'synthetic' in image_path or not _CV2_AVAILABLE:
+            return self._rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        try:
+            if os.path.exists(image_path):
+                image = cv2.imread(image_path)
+                if image is None:
+                    raise ValueError(f"Could not read image from {image_path}")
+                image = cv2.cvtColor(image, cv2.COLOR_BGR2RGB)
+            else:
+                return self._rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        except Exception as e:
+            logger.warning(f"Error loading image {image_path}: {e}, "
+                           "using synthetic image")
+            return self._rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        if image.shape[:2] != self.image_size:
+            image = cv2.resize(image, (w, h))
+        return image
+
+    def _load_label(self, label_path: str) -> np.ndarray:
+        h, w = self.image_size
+        if 'synthetic' in label_path or not _CV2_AVAILABLE:
+            return self._rng.integers(0, 19, (h, w)).astype(np.int32)
+        try:
+            if os.path.exists(label_path):
+                label = cv2.imread(label_path, cv2.IMREAD_GRAYSCALE)
+                if label is None:
+                    raise ValueError(f"Could not read label from {label_path}")
+            else:
+                return self._rng.integers(0, 19, (h, w)).astype(np.int32)
+        except Exception as e:
+            logger.warning(f"Error loading label {label_path}: {e}, "
+                           "using synthetic label")
+            return self._rng.integers(0, 19, (h, w)).astype(np.int32)
+        if label.shape != self.image_size:
+            label = cv2.resize(label, (w, h), interpolation=cv2.INTER_NEAREST)
+        return label.astype(np.int32)
+
+    # -- access -------------------------------------------------------------
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def __getitem__(self, idx: int) -> Dict[str, object]:
+        info = self.samples[idx]
+        image = self._load_image(info['image'])
+        label = self._load_label(info['label'])
+        # fresh uniform weather pick per access (loader.py:265)
+        weather = str(self._rng.choice(self.weather_conditions))
+        return {
+            'image': image,
+            'label': label,
+            'weather_id': WEATHER_IDS[weather],
+            'weather_condition': weather,
+            'dataset': info['dataset'],
+        }

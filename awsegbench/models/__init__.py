@@ -1,0 +1,13 @@
+"""Model implementations and architectures (Flax, NHWC, TPU-native)."""
+
+from .deeplab import ASPP, DeepLabV3PlusModel, ResNetEncoder
+from .ensemble import EnsembleModel
+from .factory import count_parameters, create_model, init_model
+from .heads import DepthEstimationHead, SegmentationHead
+from .segformer import MiTEncoder, SegFormerModel
+
+__all__ = [
+    "SegFormerModel", "MiTEncoder", "DeepLabV3PlusModel", "ResNetEncoder",
+    "ASPP", "EnsembleModel", "DepthEstimationHead", "SegmentationHead",
+    "create_model", "init_model", "count_parameters",
+]

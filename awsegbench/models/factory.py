@@ -1,0 +1,61 @@
+"""Model factory + parameter initialization helpers.
+
+Mirrors the reference's ``create_model`` (scripts/train.py:62-97): builds
+'segformer' | 'deeplabv3plus' | 'ensemble' from config. Also provides
+``init_model`` to materialize variables (params + batch_stats) for a given
+input shape, and ``count_parameters`` (scripts/train.py:246-257).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.config import Config
+from .deeplab import DeepLabV3PlusModel
+from .ensemble import EnsembleModel
+from .segformer import SegFormerModel
+
+
+def create_model(config: Config) -> nn.Module:
+    model_config = config.get('model', {}) or {}
+    model_type = model_config.get('type', 'ensemble')
+    num_classes = model_config.get('num_classes', 19)
+    include_depth = model_config.get('include_depth', True)
+    head_mode = model_config.get('head_mode', 'faithful')
+
+    if model_type == 'segformer':
+        return SegFormerModel(num_classes=num_classes,
+                              include_depth=include_depth,
+                              head_mode=head_mode)
+    if model_type == 'deeplabv3plus':
+        return DeepLabV3PlusModel(num_classes=num_classes,
+                                  include_depth=include_depth)
+    if model_type == 'ensemble':
+        return EnsembleModel(
+            num_classes=num_classes,
+            include_depth=include_depth,
+            ensemble_strategy=model_config.get('ensemble_strategy', 'weighted_average'),
+            temperature_scaling=model_config.get('temperature_scaling', True),
+            head_mode=head_mode,
+        )
+    raise ValueError(f"Unknown model type: {model_type}")
+
+
+def init_model(model: nn.Module, rng: jax.Array,
+               input_shape: Tuple[int, int, int, int],
+               dtype=jnp.float32) -> Dict[str, Any]:
+    """Initialize model variables for NHWC input of ``input_shape``."""
+    dummy = jnp.zeros(input_shape, dtype=dtype)
+    params_rng, dropout_rng = jax.random.split(rng)
+    return model.init({'params': params_rng, 'dropout': dropout_rng},
+                      dummy, train=False)
+
+
+def count_parameters(params: Any) -> int:
+    """Total trainable parameter count (scripts/train.py:246-257)."""
+    return int(sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(params)))

@@ -1,0 +1,192 @@
+"""SegFormer (MiT) encoder + model, implemented natively in Flax.
+
+Replaces the reference's HuggingFace ``SegformerModel`` dependency
+(model.py:81-223). Architecture matches the B0 config the reference
+constructs (model.py:120-130): 4 hierarchical stages of overlapped patch
+embeddings (k=7/3/3/3, s=4/2/2/2), efficient spatial-reduction attention
+(sr_ratios [8,4,2,1], heads [1,2,5,8]), Mix-FFN with a 3×3 depthwise conv,
+depths [2,2,2,2], widths [32,64,160,256].
+
+Layout is NHWC throughout (TPU-native); attention runs on [B, H·W, C]
+tokens. The reference's head path is reproduced exactly: the final-stage
+feature map is bilinearly upsampled to the input resolution *before* the
+segmentation/depth heads (model.py:209-221). ``head_mode='fused'`` instead
+runs the heads at stage-4 resolution and upsamples logits — a documented
+fast path that avoids materializing [B, H, W, 256] activations.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.resize import upsample_like
+from .heads import DepthEstimationHead, SegmentationHead
+
+# trunc_normal(0.02) like HF/timm transformer inits
+trunc02 = nn.initializers.truncated_normal(stddev=0.02)
+
+
+class OverlapPatchEmbed(nn.Module):
+    features: int
+    patch_size: int
+    stride: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        pad = self.patch_size // 2
+        x = nn.Conv(self.features, (self.patch_size, self.patch_size),
+                    strides=(self.stride, self.stride),
+                    padding=[(pad, pad), (pad, pad)])(x)
+        x = nn.LayerNorm(epsilon=1e-6)(x)
+        return x
+
+
+class EfficientSelfAttention(nn.Module):
+    """Spatial-reduction attention (SegFormer §3.1).
+
+    K/V tokens are downsampled by a strided conv of factor ``sr_ratio``
+    before attention, so the score matrix is [N, N/sr²] — this is how the
+    reference handles megapixel token counts (SURVEY.md §5 long-context).
+    """
+
+    dim: int
+    num_heads: int
+    sr_ratio: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, hw: tuple[int, int]) -> jax.Array:
+        b, n, c = x.shape
+        h, w = hw
+        head_dim = self.dim // self.num_heads
+        scale = head_dim ** -0.5
+
+        q = nn.Dense(self.dim, kernel_init=trunc02)(x)
+
+        kv_in = x
+        if self.sr_ratio > 1:
+            xs = x.reshape(b, h, w, c)
+            xs = nn.Conv(self.dim, (self.sr_ratio, self.sr_ratio),
+                         strides=(self.sr_ratio, self.sr_ratio))(xs)
+            kv_in = xs.reshape(b, -1, c)
+            kv_in = nn.LayerNorm(epsilon=1e-6)(kv_in)
+
+        k = nn.Dense(self.dim, kernel_init=trunc02)(kv_in)
+        v = nn.Dense(self.dim, kernel_init=trunc02)(kv_in)
+
+        m = kv_in.shape[1]
+        q = q.reshape(b, n, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+        k = k.reshape(b, m, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+        v = v.reshape(b, m, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+
+        attn = jnp.einsum('bhnd,bhmd->bhnm', q, k,
+                          preferred_element_type=jnp.float32) * scale
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        out = jnp.einsum('bhnm,bhmd->bhnd', attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
+        return nn.Dense(self.dim, kernel_init=trunc02)(out)
+
+
+class MixFFN(nn.Module):
+    """FFN with 3×3 depthwise conv between the dense layers (Mix-FFN)."""
+
+    dim: int
+    mlp_ratio: int = 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array, hw: tuple[int, int]) -> jax.Array:
+        b, n, c = x.shape
+        h, w = hw
+        hidden = self.dim * self.mlp_ratio
+        x = nn.Dense(hidden, kernel_init=trunc02)(x)
+        xs = x.reshape(b, h, w, hidden)
+        xs = nn.Conv(hidden, (3, 3), padding='SAME',
+                     feature_group_count=hidden)(xs)  # depthwise
+        x = xs.reshape(b, n, hidden)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.dim, kernel_init=trunc02)(x)
+        return x
+
+
+class SegFormerBlock(nn.Module):
+    dim: int
+    num_heads: int
+    sr_ratio: int
+    mlp_ratio: int = 4
+
+    @nn.compact
+    def __call__(self, x: jax.Array, hw: tuple[int, int]) -> jax.Array:
+        x = x + EfficientSelfAttention(self.dim, self.num_heads, self.sr_ratio)(
+            nn.LayerNorm(epsilon=1e-6)(x), hw)
+        x = x + MixFFN(self.dim, self.mlp_ratio)(
+            nn.LayerNorm(epsilon=1e-6)(x), hw)
+        return x
+
+
+class MiTEncoder(nn.Module):
+    """Mix Transformer encoder (B0 defaults per reference model.py:120-130)."""
+
+    hidden_sizes: Sequence[int] = (32, 64, 160, 256)
+    depths: Sequence[int] = (2, 2, 2, 2)
+    num_heads: Sequence[int] = (1, 2, 5, 8)
+    sr_ratios: Sequence[int] = (8, 4, 2, 1)
+    patch_sizes: Sequence[int] = (7, 3, 3, 3)
+    strides: Sequence[int] = (4, 2, 2, 2)
+    mlp_ratios: Sequence[int] = (4, 4, 4, 4)
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> list[jax.Array]:
+        """[B, H, W, 3] → list of 4 stage features [B, H/2^{i+2}, W/2^{i+2}, C_i]."""
+        features = []
+        for i in range(len(self.hidden_sizes)):
+            x = OverlapPatchEmbed(self.hidden_sizes[i], self.patch_sizes[i],
+                                  self.strides[i])(x)
+            b, h, w, c = x.shape
+            tokens = x.reshape(b, h * w, c)
+            for _ in range(self.depths[i]):
+                tokens = SegFormerBlock(self.hidden_sizes[i], self.num_heads[i],
+                                        self.sr_ratios[i], self.mlp_ratios[i])(
+                    tokens, (h, w))
+            tokens = nn.LayerNorm(epsilon=1e-6)(tokens)
+            x = tokens.reshape(b, h, w, c)
+            features.append(x)
+        return features
+
+
+class SegFormerModel(nn.Module):
+    """SegFormer with segmentation + optional depth head (model.py:81-223).
+
+    Returns {'segmentation': [B, H, W, num_classes], 'depth': [B, H, W, 1]}
+    (NHWC; the reference returns NCHW).
+    """
+
+    num_classes: int = 19
+    include_depth: bool = True
+    head_mode: str = 'faithful'   # 'faithful' (upsample feats → heads) | 'fused'
+    hidden_sizes: Sequence[int] = (32, 64, 160, 256)
+    depths: Sequence[int] = (2, 2, 2, 2)
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> Dict[str, jax.Array]:
+        h, w = x.shape[1], x.shape[2]
+        features = MiTEncoder(hidden_sizes=tuple(self.hidden_sizes),
+                              depths=tuple(self.depths))(x)
+        feat = features[-1]  # last hidden state, as model.py:193-207
+
+        if self.head_mode == 'faithful':
+            # upsample features to input res before heads (model.py:209-211)
+            feat = upsample_like(feat, (h, w))
+            seg = SegmentationHead(self.num_classes)(feat, train)
+            results = {'segmentation': seg}
+            if self.include_depth:
+                results['depth'] = DepthEstimationHead(hidden_channels=128)(feat, train)
+        else:
+            seg = SegmentationHead(self.num_classes)(feat, train)
+            results = {'segmentation': upsample_like(seg, (h, w))}
+            if self.include_depth:
+                depth = DepthEstimationHead(hidden_channels=128)(feat, train)
+                results['depth'] = upsample_like(depth, (h, w))
+        return results
