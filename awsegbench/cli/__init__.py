@@ -1,0 +1,1 @@
+"""Command-line entry points (same flag surface as the reference scripts)."""

@@ -1,0 +1,290 @@
+"""Evaluation driver — the robustness benchmark sweep.
+
+TPU-native re-design of the reference ``scripts/evaluate.py:134-274``. The
+reference keeps the ENTIRE test set's logits on CPU (all_logits list) and
+computes metrics with sklearn afterwards; here every metric accumulates on
+device inside one jitted step:
+
+* [6, C, C] confusion matrices (overall + 5 weathers) → mIoU,
+* [6, num_bins, 3] ECE bin stats (overall + per weather),
+* [K, 2] disagreement-score histogram (pos=error / neg=correct) → AUROC
+  with within-bin tie correction (equals sklearn within ~1e-5 at K=16384;
+  'exact' mode additionally collects raw scores for small test sets).
+
+One host transfer happens at sweep end. Result keys match the reference:
+overall_miou, miou_{weather}, expected_calibration_error, ece_{weather},
+ensemble_disagreement_auroc, robustness_degradation_{weather},
+robustness_degradation_ratio.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.mesh import batch_sharding, create_mesh, replicated_sharding
+from ..core.precision import get_policy
+from ..core.prng import RngStreams, per_sample_keys
+from ..data.pipeline import prepare_batch
+from ..metrics.calibration import ece_bin_update, ece_from_bins
+from ..metrics.disagreement import (auroc_exact, auroc_from_histogram,
+                                    auroc_histogram_update, disagreement_map)
+from ..metrics.iou import confusion_matrix, iou_from_confusion
+from ..metrics.robustness import RobustnessMetrics
+from ..weather.corruption import WEATHER_CONDITIONS
+
+logger = logging.getLogger(__name__)
+
+AUROC_BINS = 16384
+# mutual-information disagreement of a 2-member ensemble lies in [~0, ln 2]
+AUROC_RANGE = (-0.01, 0.75)
+
+
+class Evaluator:
+    """Jitted per-batch evaluation with on-device accumulators."""
+
+    def __init__(self, model, variables: Dict[str, Any], config,
+                 mesh=None, num_bins: int = 15,
+                 collect_exact_auroc: bool = False) -> None:
+        self.model = model
+        self.variables = variables
+        cfg = config.to_dict() if hasattr(config, 'to_dict') else dict(config or {})
+        self.config = cfg
+        model_cfg = cfg.get('model') or {}
+        self.num_classes = model_cfg.get('num_classes', 19)
+        self.num_bins = num_bins
+        self.collect_exact_auroc = collect_exact_auroc
+
+        tpu_cfg = cfg.get('tpu') or {}
+        self.mesh = mesh if mesh is not None else create_mesh(
+            mesh_shape=tpu_cfg.get('mesh_shape', 'auto'))
+        self.n_devices = self.mesh.devices.size
+        self.policy = get_policy(tpu_cfg.get('precision', 'bf16'))
+        self._step = self._build_step()
+
+    def _build_step(self):
+        n_weathers = len(WEATHER_CONDITIONS)
+        c = self.num_classes
+
+        def step(variables, images, labels, weather_ids, sample_ids,
+                 sample_mask, step_key, acc):
+            keys = per_sample_keys(step_key, sample_ids)
+            prep = prepare_batch(images, labels, weather_ids, keys,
+                                 train=False, include_depth=False)
+            x = prep['image'].astype(self.policy.compute_dtype)
+            outputs = self.model.apply(variables, x, train=False)
+            logits = outputs['segmentation'].astype(jnp.float32)
+            preds = jnp.argmax(logits, axis=-1)
+            lbl = prep['label']
+
+            # confusion + ECE: overall (slot 0) + per weather
+            cm_updates = [confusion_matrix(preds, lbl, c, sample_mask=sample_mask)]
+            ece_updates = [ece_bin_update(logits, lbl, self.num_bins,
+                                          sample_mask=sample_mask, class_axis=-1)]
+            for wid in range(n_weathers):
+                mask_w = sample_mask & (weather_ids == wid)
+                cm_updates.append(confusion_matrix(preds, lbl, c,
+                                                   sample_mask=mask_w))
+                ece_updates.append(ece_bin_update(logits, lbl, self.num_bins,
+                                                  sample_mask=mask_w,
+                                                  class_axis=-1))
+            acc = dict(acc)
+            acc['cm'] = acc['cm'] + jnp.stack(cm_updates)
+            acc['ece'] = acc['ece'] + jnp.stack(ece_updates)
+
+            # ensemble disagreement AUROC over the whole set
+            out = {'disagreement': None, 'errors': None}
+            if 'segformer_seg' in outputs:
+                m1 = outputs['segformer_seg'].astype(jnp.float32)
+                m2 = outputs['deeplabv3plus_seg'].astype(jnp.float32)
+                dis = disagreement_map([m1, m2], class_axis=-1)
+                mean_probs = (jax.nn.softmax(m1, axis=-1) +
+                              jax.nn.softmax(m2, axis=-1)) / 2.0
+                ens_pred = jnp.argmax(mean_probs, axis=-1)
+                errors = (ens_pred != lbl).astype(jnp.float32)
+                valid = (lbl != 255) & sample_mask[:, None, None]
+                acc['auroc_hist'] = acc['auroc_hist'] + auroc_histogram_update(
+                    dis.reshape(-1), errors.reshape(-1), AUROC_BINS,
+                    *AUROC_RANGE, weights=valid.reshape(-1))
+                if self.collect_exact_auroc:
+                    out['disagreement'] = dis
+                    out['errors'] = jnp.where(valid, errors, -1.0)
+            return acc, out
+
+        rep = replicated_sharding(self.mesh)
+        data = batch_sharding(self.mesh)
+        return jax.jit(step,
+                       in_shardings=(rep, data, data, data, data, data, rep, rep),
+                       out_shardings=(rep, None))
+
+    def _init_acc(self):
+        n = 1 + len(WEATHER_CONDITIONS)
+        c = self.num_classes
+        rep = replicated_sharding(self.mesh)
+        acc = {
+            'cm': jnp.zeros((n, c, c), jnp.float32),
+            'ece': jnp.zeros((n, self.num_bins, 3), jnp.float32),
+            'auroc_hist': jnp.zeros((AUROC_BINS, 2), jnp.float32),
+        }
+        return jax.device_put(acc, rep)
+
+    def _pad_batch(self, batch):
+        b = batch['image'].shape[0]
+        pad = (-b) % self.n_devices
+        mask = np.ones((b + pad,), dtype=bool)
+        if pad:
+            mask[b:] = False
+
+            def _pad_arr(x):
+                widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+                return np.pad(x, widths, mode='edge')
+
+            batch = {k: (_pad_arr(v) if isinstance(v, np.ndarray) else v)
+                     for k, v in batch.items()}
+        return batch, mask
+
+    def run(self, test_loader, seed: int = 42) -> Dict[str, Any]:
+        """Full evaluation sweep. Returns the reference's results schema."""
+        rngs = RngStreams(seed)
+        acc = self._init_acc()
+        exact_scores, exact_errors = [], []
+        n_images = 0
+        t0 = time.time()
+
+        for i, batch in enumerate(test_loader):
+            n_images += batch['image'].shape[0]
+            batch, mask = self._pad_batch(batch)
+            step_key = rngs.fold('weather', i)
+            acc, out = self._step(self.variables, batch['image'],
+                                  batch['label'], batch['weather_id'],
+                                  batch['sample_id'], mask, step_key, acc)
+            if self.collect_exact_auroc and out['disagreement'] is not None:
+                exact_scores.append(np.asarray(out['disagreement']).reshape(-1))
+                exact_errors.append(np.asarray(out['errors']).reshape(-1))
+
+        acc = jax.device_get(acc)
+        elapsed = time.time() - t0
+
+        results: Dict[str, Any] = {}
+        cms = acc['cm']
+        results['overall_miou'] = float(
+            iou_from_confusion(jnp.asarray(cms[0]))['mean_iou'])
+        weather_mious: Dict[str, float] = {}
+        for wid, weather in enumerate(WEATHER_CONDITIONS):
+            if cms[1 + wid].sum() > 0:
+                miou = float(iou_from_confusion(jnp.asarray(cms[1 + wid]))['mean_iou'])
+                weather_mious[weather] = miou
+                results[f'miou_{weather}'] = miou
+
+        results['expected_calibration_error'] = float(
+            ece_from_bins(jnp.asarray(acc['ece'][0])))
+        for wid, weather in enumerate(WEATHER_CONDITIONS):
+            if acc['ece'][1 + wid][:, 0].sum() > 0:
+                results[f'ece_{weather}'] = float(
+                    ece_from_bins(jnp.asarray(acc['ece'][1 + wid])))
+
+        if acc['auroc_hist'].sum() > 0:
+            if self.collect_exact_auroc and exact_scores:
+                s = np.concatenate(exact_scores)
+                e = np.concatenate(exact_errors)
+                keep = e >= 0
+                results['ensemble_disagreement_auroc'] = float(
+                    auroc_exact(jnp.asarray(s[keep]), jnp.asarray(e[keep])))
+            else:
+                results['ensemble_disagreement_auroc'] = float(
+                    auroc_from_histogram(jnp.asarray(acc['auroc_hist'])))
+
+        # degradation ratios (scripts/evaluate.py:257-271)
+        if 'clean' in weather_mious:
+            clean_miou = weather_mious['clean']
+            rm = RobustnessMetrics(self.num_classes)
+            degradations = []
+            for weather in ['fog', 'rain', 'snow', 'night']:
+                if weather in weather_mious:
+                    d = rm.compute_robustness_degradation_ratio(
+                        clean_miou, weather_mious[weather])
+                    results[f'robustness_degradation_{weather}'] = d
+                    degradations.append(d)
+            if degradations:
+                results['robustness_degradation_ratio'] = float(
+                    np.mean(degradations))
+
+        results['_throughput_images_per_sec'] = n_images / max(elapsed, 1e-9)
+        results['_eval_seconds'] = elapsed
+        results['_num_images'] = n_images
+        logger.info("Model evaluation completed")
+        return results
+
+
+def generate_evaluation_report(results: Dict[str, Any], output_dir: Path,
+                               target_metrics: Optional[Dict[str, float]] = None
+                               ) -> None:
+    """Write evaluation_results.json + evaluation_report.md with the
+    reference's hard-coded targets table (scripts/evaluate.py:277-392).
+    """
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    with open(output_dir / 'evaluation_results.json', 'w') as f:
+        json.dump({k: v for k, v in results.items()}, f, indent=2,
+                  default=float)
+
+    if target_metrics is None:
+        target_metrics = {
+            'miou_clean': 0.78,
+            'miou_fog': 0.65,
+            'miou_rain': 0.62,
+            'robustness_degradation_ratio': 0.18,
+            'expected_calibration_error': 0.05,
+            'ensemble_disagreement_auroc': 0.85,
+        }
+
+    lines = [
+        "# Adverse Weather Semantic Segmentation Evaluation Report",
+        "",
+        "## Summary Metrics",
+        "",
+        "| Metric | Target | Actual | Status |",
+        "|--------|--------|--------|--------|",
+    ]
+    for metric, target in target_metrics.items():
+        actual = results.get(metric, 0.0)
+        status = "✓" if actual >= target else "✗"
+        lines.append(f"| {metric} | {target:.3f} | {actual:.3f} | {status} |")
+
+    lines += ["", "## Weather-Specific Performance", ""]
+    for weather in WEATHER_CONDITIONS:
+        key = f'miou_{weather}'
+        if key in results:
+            lines.append(f"- **{weather.title()}**: mIoU = {results[key]:.3f}")
+
+    lines += ["", "## Robustness Analysis", ""]
+    if 'robustness_degradation_ratio' in results:
+        lines.append(f"- **Overall Degradation Ratio**: "
+                     f"{results['robustness_degradation_ratio']:.3f}")
+    for weather in ['fog', 'rain', 'snow', 'night']:
+        key = f'robustness_degradation_{weather}'
+        if key in results:
+            lines.append(f"- **{weather.title()} Degradation**: "
+                         f"{results[key]:.3f}")
+
+    if 'expected_calibration_error' in results:
+        lines += ["", "## Confidence Calibration", "",
+                  f"- **Expected Calibration Error**: "
+                  f"{results['expected_calibration_error']:.3f}"]
+
+    if 'ensemble_disagreement_auroc' in results:
+        lines += ["", "## Ensemble Performance", "",
+                  f"- **Disagreement AUROC**: "
+                  f"{results['ensemble_disagreement_auroc']:.3f}"]
+
+    with open(output_dir / 'evaluation_report.md', 'w') as f:
+        f.write('\n'.join(lines))
+    logger.info(f"Evaluation report saved to {output_dir}")

@@ -80,7 +80,11 @@ class FogDensityAwareLoss:
 
     def __call__(self, predictions: Dict[str, jax.Array],
                  targets: Dict[str, jax.Array],
-                 fog_density: Optional[jax.Array] = None) -> Dict[str, jax.Array]:
+                 fog_density: Optional[jax.Array] = None,
+                 sample_mask: Optional[jax.Array] = None) -> Dict[str, jax.Array]:
+        """``sample_mask`` ([B] 0/1) excludes rows padded for even device
+        sharding from every mean — no reference counterpart (single-device).
+        """
         seg_pred = predictions['segmentation']   # [B, H, W, C] NHWC
         seg_target = targets['label']            # [B, H, W] int
 
@@ -93,6 +97,14 @@ class FogDensityAwareLoss:
             fog_weight = 1.0 + self.fog_sensitivity * fog_density
             seg_loss = seg_loss * fog_weight
 
+        def _masked_mean(x: jax.Array) -> jax.Array:
+            if sample_mask is None:
+                return jnp.mean(x)
+            w = sample_mask.astype(jnp.float32).reshape(
+                (-1,) + (1,) * (x.ndim - 1))
+            return jnp.sum(x * w) / jnp.maximum(
+                jnp.sum(w) * (x.size / x.shape[0]), 1.0)
+
         depth_loss = jnp.float32(0.0)
         if 'depth' in predictions and self.depth_weight > 0:
             pred_depth = predictions['depth'][..., 0]  # drop channel dim
@@ -104,10 +116,10 @@ class FogDensityAwareLoss:
 
             if 'depth' in targets:
                 depth_target = targets['depth']
-                depth_loss = jnp.mean(
+                depth_loss = _masked_mean(
                     (pred_depth.astype(jnp.float32) - depth_target) ** 2)
 
-        total_seg_loss = jnp.mean(seg_loss)
+        total_seg_loss = _masked_mean(seg_loss)
         total_loss = total_seg_loss + self.depth_loss_weight * depth_loss
         return {
             'total_loss': total_loss,

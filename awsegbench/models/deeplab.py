@@ -152,11 +152,16 @@ class DeepLabV3PlusModel(nn.Module):
     include_depth: bool = True
     output_stride: int = 16
     decoder_channels: int = 256
+    # encoder overrides (ResNet-50 defaults; shrink for tests/small configs)
+    encoder_layers: Sequence[int] = (3, 4, 6, 3)
+    encoder_widths: Sequence[int] = (64, 128, 256, 512)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> Dict[str, jax.Array]:
         h, w = x.shape[1], x.shape[2]
-        feats = ResNetEncoder(output_stride=self.output_stride)(x, train)
+        feats = ResNetEncoder(layers=tuple(self.encoder_layers),
+                              widths=tuple(self.encoder_widths),
+                              output_stride=self.output_stride)(x, train)
         high = feats[-1]       # os16, 2048 ch
         low = feats[2]         # os4, 256 ch (layer1)
 

@@ -1,0 +1,571 @@
+"""Training pipeline — jitted steps over a device mesh.
+
+TPU-native re-design of the reference ``AdverseWeatherTrainer``
+(trainer.py:91-673). Key architectural shifts (SURVEY.md §7):
+
+* the whole per-step pipeline — weather corruption, depth estimation,
+  augmentation, normalization, both ensemble members' forwards, the
+  fog-density-aware loss, backward, global-norm clip, optimizer update —
+  is ONE jitted XLA program; batches shard over the ``data`` mesh axis and
+  XLA inserts the gradient all-reduce automatically;
+* validation accumulates per-weather confusion matrices on device
+  ([6, C, C]: overall + 5 weathers) instead of `.cpu()` list appends
+  (trainer.py:447-455); one host transfer per epoch;
+* bf16 compute / fp32 master params by default (reference is fp32-only).
+
+Contract preserved: optimizer/scheduler/loss factories, per-epoch scheduler
+stepping, early stopping on val loss with best-weight restore, checkpoint
+latest/best/periodic, the random per-batch fog-density keyed on weather
+(trainer.py:480-511), MLflow/TensorBoard logging (both optional), and the
+reference's quirk of reading ``epochs``/``batch_size``/``grad_clip``/
+``num_classes`` from the top level of the config dict (with a fallback to
+the nested ``training`` section, which the reference silently ignores).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from functools import partial
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax.training import train_state
+
+from ..core.mesh import (DATA_AXIS, batch_sharding, create_mesh,
+                         replicated_sharding)
+from ..core.precision import get_policy
+from ..core.prng import RngStreams, per_sample_keys
+from ..data.pipeline import prepare_batch
+from ..losses.fog_density import FogDensityAwareLoss, cross_entropy_loss
+from ..metrics.iou import confusion_matrix, iou_from_confusion
+from ..metrics.robustness import RobustnessMetrics
+from ..weather.corruption import WEATHER_CONDITIONS
+from .checkpoints import CheckpointManager
+from .optim import (create_optimizer, create_scheduler, get_learning_rate,
+                    set_learning_rate)
+
+logger = logging.getLogger(__name__)
+
+try:
+    from tensorboardX import SummaryWriter
+    _TB_AVAILABLE = True
+except ImportError:  # pragma: no cover
+    _TB_AVAILABLE = False
+    SummaryWriter = None
+
+try:  # MLflow optional, like trainer.py:17-24
+    import mlflow
+    MLFLOW_AVAILABLE = True
+except ImportError:
+    MLFLOW_AVAILABLE = False
+    mlflow = None
+
+
+class TrainState(train_state.TrainState):
+    batch_stats: Any = None
+
+
+class EarlyStopping:
+    """Early stopping on validation loss (reference trainer.py:33-88)."""
+
+    def __init__(self, patience: int = 10, min_delta: float = 0.001,
+                 restore_best_weights: bool = True) -> None:
+        self.patience = patience
+        self.min_delta = min_delta
+        self.restore_best_weights = restore_best_weights
+        self.best_loss = float('inf')
+        self.counter = 0
+        self.best_weights: Optional[Dict[str, Any]] = None
+        self.early_stop = False
+
+    def __call__(self, val_loss: float, state: TrainState
+                 ) -> tuple[bool, TrainState]:
+        """Returns (should_stop, possibly-restored state)."""
+        if val_loss < self.best_loss - self.min_delta:
+            self.best_loss = val_loss
+            self.counter = 0
+            if self.restore_best_weights:
+                self.best_weights = {
+                    'params': jax.tree_util.tree_map(np.asarray, state.params),
+                    'batch_stats': jax.tree_util.tree_map(np.asarray,
+                                                          state.batch_stats),
+                }
+        else:
+            self.counter += 1
+
+        if self.counter >= self.patience:
+            self.early_stop = True
+            if self.restore_best_weights and self.best_weights:
+                state = state.replace(params=self.best_weights['params'],
+                                      batch_stats=self.best_weights['batch_stats'])
+        return self.early_stop, state
+
+
+def fog_density_from_weather(weather_ids: jax.Array, key: jax.Array,
+                             height: int, width: int) -> jax.Array:
+    """Random per-pixel fog density keyed on weather label
+    (trainer.py:480-511): fog→U[.5,1], rain/snow→U[.2,.5], else→U[0,.1].
+    """
+    b = weather_ids.shape[0]
+    u = jax.random.uniform(key, (b, height, width), dtype=jnp.float32)
+    wid = weather_ids[:, None, None]
+    fog = u * 0.5 + 0.5
+    mid = u * 0.3 + 0.2
+    low = u * 0.1
+    return jnp.where(wid == 1, fog, jnp.where((wid == 2) | (wid == 3), mid, low))
+
+
+class AdverseWeatherTrainer:
+    """Trainer with the reference's public surface: ``train()``,
+    ``train_epoch()``, ``validate_epoch()``, ``save_checkpoint()``,
+    ``load_checkpoint()``, ``resume_training()``.
+    """
+
+    def __init__(self, model, train_loader, val_loader,
+                 config: Dict[str, Any], device: Optional[str] = None,
+                 checkpoint_dir: str = 'checkpoints',
+                 log_dir: str = 'logs',
+                 mesh=None, seed: Optional[int] = None) -> None:
+        self.model = model
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.config = config
+
+        def _cfg(key, default):
+            # top-level first (reference quirk), then nested training section
+            if key in config:
+                return config[key]
+            return (config.get('training') or {}).get(key, default)
+
+        self.epochs = _cfg('epochs', 100)
+        self.grad_clip = _cfg('grad_clip', 1.0)
+        self.num_classes = config.get('num_classes',
+                                      (config.get('model') or {}).get('num_classes', 19))
+        self.include_depth = (config.get('model') or {}).get('include_depth', True)
+        self.apply_augmentation = (config.get('data') or {}).get('apply_augmentation', True)
+
+        self.checkpoint_dir = Path(checkpoint_dir)
+        self.checkpoint_dir.mkdir(parents=True, exist_ok=True)
+        self.log_dir = Path(log_dir)
+        self.log_dir.mkdir(parents=True, exist_ok=True)
+
+        # --- TPU runtime ---------------------------------------------------
+        tpu_cfg = config.get('tpu') or {}
+        self.mesh = mesh if mesh is not None else create_mesh(
+            mesh_shape=tpu_cfg.get('mesh_shape', 'auto'))
+        self.n_devices = self.mesh.devices.size
+        self.policy = get_policy(tpu_cfg.get('precision', 'bf16'))
+        self.rngs = RngStreams(seed if seed is not None else config.get('seed', 42))
+
+        # --- optimizer / scheduler / loss ----------------------------------
+        opt_cfg = config.get('optimizer') or {}
+        self.tx = create_optimizer(opt_cfg, grad_clip=self.grad_clip)
+        self.base_lr = opt_cfg.get('learning_rate', 0.001)
+        self.scheduler = create_scheduler(config.get('scheduler') or {},
+                                          self.base_lr, self.epochs)
+        self.loss_fn = self._setup_loss_function()
+
+        # --- metrics / logging ---------------------------------------------
+        self.metrics = RobustnessMetrics(num_classes=self.num_classes)
+        self.writer = (SummaryWriter(log_dir=str(self.log_dir))
+                       if _TB_AVAILABLE else None)
+        self.ckpt = CheckpointManager(str(self.checkpoint_dir))
+
+        # --- training state -------------------------------------------------
+        self.current_epoch = 0
+        self.global_step = 0
+        self.best_val_loss = float('inf')
+        self.best_val_miou = 0.0
+
+        es_cfg = config.get('early_stopping') or {}
+        self.early_stopping = EarlyStopping(
+            patience=es_cfg.get('patience', 10),
+            min_delta=es_cfg.get('min_delta', 0.001),
+            restore_best_weights=es_cfg.get('restore_best_weights', True))
+
+        self.state = self._init_state()
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+        self._setup_mlflow()
+        logger.info(f"Initialized AdverseWeatherTrainer with "
+                    f"{type(model).__name__} on {self.n_devices} device(s)")
+
+    # ------------------------------------------------------------------ setup
+
+    def _setup_loss_function(self):
+        loss_cfg = self.config.get('loss') or {}
+        loss_type = loss_cfg.get('type', 'fog_density_aware')
+        if loss_type == 'fog_density_aware':
+            return FogDensityAwareLoss(
+                base_loss=loss_cfg.get('base_loss', 'cross_entropy'),
+                depth_weight=loss_cfg.get('depth_weight', 0.5),
+                fog_sensitivity=loss_cfg.get('fog_sensitivity', 2.0),
+                depth_loss_weight=loss_cfg.get('depth_loss_weight', 0.1))
+        return cross_entropy_loss
+
+    def _setup_mlflow(self) -> None:
+        if not MLFLOW_AVAILABLE:
+            logger.warning("MLflow not available. Skipping MLflow setup.")
+            return
+        try:
+            mlflow_cfg = self.config.get('mlflow') or {}
+            if mlflow_cfg.get('enabled', True):
+                mlflow.set_experiment(mlflow_cfg.get(
+                    'experiment_name', 'adverse_weather_segmentation'))
+                mlflow.start_run(run_name=mlflow_cfg.get('run_name'))
+                opt_cfg = self.config.get('optimizer') or {}
+                mlflow.log_params({
+                    'model_type': type(self.model).__name__,
+                    'optimizer': opt_cfg.get('type', 'adamw'),
+                    'learning_rate': opt_cfg.get('learning_rate', 0.001),
+                    'batch_size': self.config.get('batch_size', 8),
+                    'epochs': self.epochs,
+                    'num_classes': self.num_classes,
+                })
+                logger.info("MLflow tracking initialized")
+        except Exception as e:  # pragma: no cover
+            logger.warning(f"Failed to setup MLflow: {e}")
+
+    def _peek_batch_shape(self):
+        ds = getattr(self.train_loader, 'dataset', None)
+        if ds is not None and hasattr(ds, 'image_size'):
+            return tuple(ds.image_size)
+        batch = next(iter(self.train_loader))
+        return batch['image'].shape[1:3]
+
+    def _init_state(self) -> TrainState:
+        h, w = self._peek_batch_shape()
+        dummy = jnp.zeros((1, h, w, 3), jnp.float32)
+        variables = self.model.init(
+            {'params': self.rngs.key('params'),
+             'dropout': self.rngs.key('dropout')}, dummy, train=False)
+        state = TrainState.create(
+            apply_fn=self.model.apply,
+            params=variables['params'],
+            batch_stats=variables.get('batch_stats', {}),
+            tx=self.tx)
+        # replicate across the mesh
+        rep = replicated_sharding(self.mesh)
+        return jax.device_put(state, rep)
+
+    # ------------------------------------------------------------- jit builds
+
+    def _forward(self, params, batch_stats, images, train: bool,
+                 dropout_key=None):
+        p = self.policy.cast_to_compute(params)
+        bs = self.policy.cast_to_compute(batch_stats)
+        variables = {'params': p, 'batch_stats': bs}
+        x = images.astype(self.policy.compute_dtype)
+        if train:
+            out, mutated = self.model.apply(
+                variables, x, train=True, rngs={'dropout': dropout_key},
+                mutable=['batch_stats'])
+            new_bs = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.float32), mutated['batch_stats'])
+            return out, new_bs
+        out = self.model.apply(variables, x, train=False)
+        return out, batch_stats
+
+    def _compute_loss(self, outputs, targets, fog_density, sample_mask):
+        outputs = {k: v.astype(jnp.float32) for k, v in outputs.items()}
+        if isinstance(self.loss_fn, FogDensityAwareLoss):
+            return self.loss_fn(outputs, targets, fog_density,
+                                sample_mask=sample_mask)
+        return self.loss_fn(outputs, targets)
+
+    def _build_train_step(self):
+        use_fog = isinstance(self.loss_fn, FogDensityAwareLoss)
+
+        def step(state: TrainState, images, labels, weather_ids, sample_ids,
+                 sample_mask, step_key):
+            k_weather, k_aug, k_dropout, k_fog = jax.random.split(step_key, 4)
+            keys = per_sample_keys(k_weather, sample_ids)
+            prep = prepare_batch(images, labels, weather_ids, keys,
+                                 aug_key=k_aug, train=True,
+                                 include_depth=self.include_depth,
+                                 apply_augmentation=self.apply_augmentation)
+            targets = {'label': prep['label']}
+            if self.include_depth:
+                targets['depth'] = prep['depth']
+            fog_density = None
+            if use_fog:
+                h, w = images.shape[1], images.shape[2]
+                fog_density = fog_density_from_weather(weather_ids, k_fog, h, w)
+
+            def loss_fn(params):
+                outputs, new_bs = self._forward(params, state.batch_stats,
+                                                prep['image'], True, k_dropout)
+                loss_dict = self._compute_loss(outputs, targets, fog_density,
+                                               sample_mask)
+                return loss_dict['total_loss'], (new_bs, loss_dict)
+
+            grads, (new_bs, loss_dict) = jax.grad(
+                loss_fn, has_aux=True)(state.params)
+            new_state = state.apply_gradients(grads=grads, batch_stats=new_bs)
+            metrics = {
+                'loss': loss_dict['total_loss'],
+                'seg_loss': loss_dict['segmentation_loss'],
+                'depth_loss': loss_dict['depth_loss'],
+            }
+            return new_state, metrics
+
+        rep = replicated_sharding(self.mesh)
+        data = batch_sharding(self.mesh)
+        return jax.jit(step,
+                       in_shardings=(rep, data, data, data, data, data, rep),
+                       out_shardings=(rep, rep),
+                       donate_argnums=(0,))
+
+    def _build_eval_step(self):
+        use_fog = isinstance(self.loss_fn, FogDensityAwareLoss)
+        n_weathers = len(WEATHER_CONDITIONS)
+
+        def step(state: TrainState, images, labels, weather_ids, sample_ids,
+                 sample_mask, step_key, cm_acc):
+            k_weather, k_fog = jax.random.split(step_key, 2)
+            keys = per_sample_keys(k_weather, sample_ids)
+            prep = prepare_batch(images, labels, weather_ids, keys,
+                                 train=False,
+                                 include_depth=self.include_depth)
+            targets = {'label': prep['label']}
+            if self.include_depth:
+                targets['depth'] = prep['depth']
+            fog_density = None
+            if use_fog:
+                h, w = images.shape[1], images.shape[2]
+                fog_density = fog_density_from_weather(weather_ids, k_fog, h, w)
+
+            outputs, _ = self._forward(state.params, state.batch_stats,
+                                       prep['image'], False)
+            loss_dict = self._compute_loss(outputs, targets, fog_density,
+                                           sample_mask)
+            preds = jnp.argmax(outputs['segmentation'], axis=-1)
+
+            # [1 + n_weathers, C, C] confusion accumulation on device
+            updates = [confusion_matrix(preds, prep['label'], self.num_classes,
+                                        sample_mask=sample_mask)]
+            for wid in range(n_weathers):
+                mask_w = sample_mask & (weather_ids == wid)
+                updates.append(confusion_matrix(preds, prep['label'],
+                                                self.num_classes,
+                                                sample_mask=mask_w))
+            cm_acc = cm_acc + jnp.stack(updates)
+            metrics = {
+                'loss': loss_dict['total_loss'],
+                'seg_loss': loss_dict['segmentation_loss'],
+                'depth_loss': loss_dict['depth_loss'],
+            }
+            return metrics, cm_acc
+
+        rep = replicated_sharding(self.mesh)
+        data = batch_sharding(self.mesh)
+        return jax.jit(step,
+                       in_shardings=(rep, data, data, data, data, data, rep, rep),
+                       out_shardings=(rep, rep),
+                       donate_argnums=(7,))
+
+    # ------------------------------------------------------------- host utils
+
+    def _pad_batch(self, batch):
+        """Pad the batch to a multiple of the mesh size; return mask."""
+        b = batch['image'].shape[0]
+        mult = self.n_devices
+        pad = (-b) % mult
+        mask = np.ones((b + pad,), dtype=bool)
+        if pad:
+            mask[b:] = False
+
+            def _pad_arr(x):
+                widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+                return np.pad(x, widths, mode='edge')
+
+            batch = {k: (_pad_arr(v) if isinstance(v, np.ndarray) else v)
+                     for k, v in batch.items()}
+        return batch, mask
+
+    # ------------------------------------------------------------ public API
+
+    def train_epoch(self) -> Dict[str, float]:
+        """One training epoch (reference trainer.py:280-375)."""
+        sums = {'train_loss': 0.0, 'train_seg_loss': 0.0,
+                'train_depth_loss': 0.0}
+        n_samples = 0
+        lr = (self.scheduler.current_lr if self.scheduler else self.base_lr)
+
+        for batch in self.train_loader:
+            bsz = batch['image'].shape[0]
+            batch, mask = self._pad_batch(batch)
+            step_key = self.rngs.fold('weather', self.global_step)
+            self.state, metrics = self._train_step(
+                self.state, batch['image'], batch['label'],
+                batch['weather_id'], batch['sample_id'], mask, step_key)
+
+            if self.global_step % 10 == 0:
+                m = jax.device_get(metrics)
+                if self.writer:
+                    self.writer.add_scalar('Train/Loss', float(m['loss']),
+                                           self.global_step)
+                    self.writer.add_scalar('Train/SegLoss', float(m['seg_loss']),
+                                           self.global_step)
+                    self.writer.add_scalar('Train/LR', lr, self.global_step)
+
+            m = jax.device_get(metrics)
+            sums['train_loss'] += float(m['loss']) * bsz
+            sums['train_seg_loss'] += float(m['seg_loss']) * bsz
+            sums['train_depth_loss'] += float(m['depth_loss']) * bsz
+            n_samples += bsz
+            self.global_step += 1
+
+        out = {k: v / max(n_samples, 1) for k, v in sums.items()}
+        out['train_samples'] = n_samples
+        return out
+
+    def validate_epoch(self) -> Dict[str, float]:
+        """One validation epoch (reference trainer.py:377-478) with
+        on-device confusion accumulation."""
+        sums = {'val_loss': 0.0, 'val_seg_loss': 0.0, 'val_depth_loss': 0.0}
+        n_samples = 0
+        c = self.num_classes
+        cm_acc = jnp.zeros((1 + len(WEATHER_CONDITIONS), c, c), jnp.float32)
+        cm_acc = jax.device_put(cm_acc, replicated_sharding(self.mesh))
+
+        step_offset = 1_000_000_000 + self.current_epoch * 1_000_000
+        for i, batch in enumerate(self.val_loader):
+            bsz = batch['image'].shape[0]
+            batch, mask = self._pad_batch(batch)
+            step_key = self.rngs.fold('weather', step_offset + i)
+            metrics, cm_acc = self._eval_step(
+                self.state, batch['image'], batch['label'],
+                batch['weather_id'], batch['sample_id'], mask, step_key,
+                cm_acc)
+            m = jax.device_get(metrics)
+            sums['val_loss'] += float(m['loss']) * bsz
+            sums['val_seg_loss'] += float(m['seg_loss']) * bsz
+            sums['val_depth_loss'] += float(m['depth_loss']) * bsz
+            n_samples += bsz
+
+        out = {k: v / max(n_samples, 1) for k, v in sums.items()}
+        out['val_samples'] = n_samples
+
+        cms = jax.device_get(cm_acc)
+        out['val_miou'] = float(iou_from_confusion(jnp.asarray(cms[0]))['mean_iou'])
+        for wid, weather in enumerate(WEATHER_CONDITIONS):
+            if cms[1 + wid].sum() > 0:
+                out[f'val_miou_{weather}'] = float(
+                    iou_from_confusion(jnp.asarray(cms[1 + wid]))['mean_iou'])
+        return out
+
+    def train(self) -> Dict[str, Any]:
+        """Main training loop (reference trainer.py:513-604)."""
+        history = {'train': [], 'val': []}
+        logger.info(f"Starting training for {self.epochs} epochs")
+
+        for epoch in range(self.epochs):
+            self.current_epoch = epoch
+            start_time = time.time()
+
+            train_metrics = self.train_epoch()
+            history['train'].append(train_metrics)
+
+            val_metrics = self.validate_epoch()
+            history['val'].append(val_metrics)
+
+            # scheduler steps per epoch; plateau consumes val loss
+            if self.scheduler is not None:
+                new_lr = self.scheduler.step(val_metrics['val_loss'])
+                self.state = self.state.replace(
+                    opt_state=set_learning_rate(self.state.opt_state, new_lr))
+
+            epoch_time = time.time() - start_time
+            logger.info(
+                f"Epoch {epoch + 1}/{self.epochs} - "
+                f"Train Loss: {train_metrics['train_loss']:.4f}, "
+                f"Val Loss: {val_metrics['val_loss']:.4f}, "
+                f"Val mIoU: {val_metrics['val_miou']:.4f}, "
+                f"Time: {epoch_time:.1f}s")
+
+            if self.writer:
+                self.writer.add_scalar('Epoch/TrainLoss',
+                                       train_metrics['train_loss'], epoch)
+                self.writer.add_scalar('Epoch/ValLoss',
+                                       val_metrics['val_loss'], epoch)
+                self.writer.add_scalar('Epoch/ValMIoU',
+                                       val_metrics['val_miou'], epoch)
+
+            if MLFLOW_AVAILABLE:
+                try:
+                    mlflow.log_metrics({
+                        'train_loss': train_metrics['train_loss'],
+                        'val_loss': val_metrics['val_loss'],
+                        'val_miou': val_metrics['val_miou'],
+                    }, step=epoch)
+                except Exception as e:  # pragma: no cover
+                    logger.warning(f"Failed to log to MLflow: {e}")
+
+            is_best = val_metrics['val_miou'] > self.best_val_miou
+            if is_best:
+                self.best_val_miou = val_metrics['val_miou']
+                self.best_val_loss = val_metrics['val_loss']
+
+            self.save_checkpoint(epoch=epoch, metrics=val_metrics,
+                                 is_best=is_best)
+
+            should_stop, self.state = self.early_stopping(
+                val_metrics['val_loss'], self.state)
+            if should_stop:
+                logger.info(f"Early stopping triggered at epoch {epoch + 1}")
+                break
+
+        if self.writer:
+            self.writer.close()
+        if MLFLOW_AVAILABLE:
+            try:
+                mlflow.end_run()
+            except Exception:
+                pass
+
+        logger.info("Training completed")
+        return {
+            'history': history,
+            'best_val_miou': self.best_val_miou,
+            'best_val_loss': self.best_val_loss,
+            'total_epochs': self.current_epoch + 1,
+        }
+
+    # ---------------------------------------------------------- checkpoints
+
+    def _state_tree(self) -> Dict[str, Any]:
+        return {
+            'epoch': np.asarray(self.current_epoch),
+            'step': np.asarray(self.state.step),
+            'params': self.state.params,
+            'batch_stats': self.state.batch_stats,
+            'opt_state': self.state.opt_state,
+        }
+
+    def save_checkpoint(self, epoch: int, metrics: Dict[str, float],
+                        is_best: bool = False) -> None:
+        sched_state = self.scheduler.state_dict() if self.scheduler else None
+        self.ckpt.save(epoch, self._state_tree(),
+                       {**metrics, 'scheduler': sched_state},
+                       self.config, is_best=is_best)
+
+    def load_checkpoint(self, checkpoint_path: str) -> None:
+        tree, meta = self.ckpt.restore(checkpoint_path, self._state_tree())
+        self.state = self.state.replace(
+            params=tree['params'], batch_stats=tree['batch_stats'],
+            opt_state=tree['opt_state'], step=int(tree['step']))
+        self.state = jax.device_put(self.state,
+                                    replicated_sharding(self.mesh))
+        self.current_epoch = int(tree['epoch'])
+        if self.scheduler and meta.get('metrics', {}).get('scheduler'):
+            self.scheduler.load_state_dict(meta['metrics']['scheduler'])
+        logger.info(f"Loaded checkpoint from epoch {self.current_epoch + 1}")
+
+    def resume_training(self, checkpoint_path: str) -> Dict[str, Any]:
+        self.load_checkpoint(checkpoint_path)
+        return self.train()

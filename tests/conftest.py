@@ -1,0 +1,124 @@
+"""Shared fixtures — CPU-forced JAX with a virtual 8-device mesh.
+
+Mirrors the reference test strategy (SURVEY.md §4): forced-CPU device,
+shrunken config (5 classes, small images, tiny batches), synthetic-data
+fallback as the fake backend (empty data_root), fixed seeds. Adds what the
+reference lacks: a faked 8-device topology so mesh/collective/sharding code
+paths run in CI without TPU hardware.
+"""
+
+import jax
+
+# must run before any backend initialization
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_num_cpu_devices', 8)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from awsegbench.utils.config import Config  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def set_random_seed():
+    np.random.seed(42)
+    yield
+
+
+@pytest.fixture
+def test_config():
+    """Shrunken config analogous to reference tests/conftest.py:26-92."""
+    return Config({
+        'model': {
+            'type': 'ensemble',
+            'num_classes': 5,
+            'include_depth': True,
+            'ensemble_strategy': 'weighted_average',
+            'temperature_scaling': True,
+        },
+        'data': {
+            'dataset_type': 'synthetic',
+            'data_root': 'test_data_does_not_exist',
+            'image_size': [64, 128],
+            'weather_conditions': ['clean', 'fog', 'rain'],
+            'apply_augmentation': True,
+            'include_depth': True,
+        },
+        'training': {
+            'batch_size': 2,
+            'epochs': 3,
+            'num_workers': 0,
+            'pin_memory': False,
+            'grad_clip': 1.0,
+        },
+        'optimizer': {
+            'type': 'adamw',
+            'learning_rate': 0.001,
+            'weight_decay': 0.01,
+            'betas': [0.9, 0.999],
+        },
+        'scheduler': {'enabled': False},
+        'loss': {
+            'type': 'cross_entropy',
+            'base_loss': 'cross_entropy',
+            'depth_weight': 0.5,
+            'fog_sensitivity': 2.0,
+            'depth_loss_weight': 0.1,
+        },
+        'early_stopping': {
+            'patience': 2,
+            'min_delta': 0.001,
+            'restore_best_weights': True,
+        },
+        'mlflow': {'enabled': False},
+        'evaluation': {
+            'num_bins': 5,
+            'weather_conditions': ['clean', 'fog', 'rain'],
+        },
+        'logging': {'level': 'WARNING'},
+        'paths': {
+            'checkpoints': 'test_checkpoints',
+            'logs': 'test_logs',
+            'results': 'test_results',
+        },
+        'device': 'cpu',
+        'seed': 42,
+        'tpu': {'precision': 'fp32', 'mesh_shape': 'auto'},
+    })
+
+
+@pytest.fixture
+def tiny_image():
+    """[H, W, 3] uint8 random RGB image."""
+    return np.random.randint(0, 255, (48, 64, 3), dtype=np.uint8)
+
+
+@pytest.fixture
+def tiny_batch():
+    """Host-format batch: image/label/weather_id/sample_id."""
+    b, h, w = 4, 48, 64
+    return {
+        'image': np.random.randint(0, 255, (b, h, w, 3), dtype=np.uint8),
+        'label': np.random.randint(0, 5, (b, h, w)).astype(np.int32),
+        'weather_id': np.array([0, 1, 2, 3], dtype=np.int32),
+        'sample_id': np.arange(b, dtype=np.int32),
+    }
+
+
+@pytest.fixture
+def random_logits_targets():
+    """Random logits/targets for metric tests (NCHW like the reference)."""
+    b, c, h, w = 2, 5, 24, 32
+    logits = np.random.randn(b, c, h, w).astype(np.float32) * 2
+    targets = np.random.randint(0, c, (b, h, w))
+    targets[0, :4, :4] = 255
+    return logits, targets
+
+
+@pytest.fixture
+def synthetic_dataset_dir(tmp_path):
+    """Empty dir → dataset falls back to synthetic samples
+    (the de-facto fake backend, reference conftest.py:171-182)."""
+    d = tmp_path / 'empty_data'
+    d.mkdir()
+    return str(d)

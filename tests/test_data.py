@@ -1,0 +1,173 @@
+"""Data layer tests — mirrors reference tests/test_data.py coverage:
+dataset init/getitem shapes/dtypes, weather variety, split sizes,
+loader batching; plus the device-side prepare_batch pipeline.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from awsegbench.core.prng import per_sample_keys
+from awsegbench.data import (BatchIterator, CityscapesKITTIDataset,
+                             normalize_imagenet, prepare_batch)
+from awsegbench.weather.corruption import WEATHER_CONDITIONS
+
+
+class TestDataset:
+    def test_synthetic_fallback_sizes(self, synthetic_dataset_dir):
+        train = CityscapesKITTIDataset(synthetic_dataset_dir, split='train',
+                                       image_size=(48, 64))
+        val = CityscapesKITTIDataset(synthetic_dataset_dir, split='val',
+                                     image_size=(48, 64))
+        test = CityscapesKITTIDataset(synthetic_dataset_dir, split='test',
+                                      image_size=(48, 64))
+        assert len(train) == 100        # loader.py:165-179 contract
+        assert len(val) == 20
+        assert len(test) == 20
+
+    def test_getitem_shapes_dtypes(self, synthetic_dataset_dir):
+        ds = CityscapesKITTIDataset(synthetic_dataset_dir, split='train',
+                                    image_size=(48, 64), seed=0)
+        item = ds[0]
+        assert item['image'].shape == (48, 64, 3)
+        assert item['image'].dtype == np.uint8
+        assert item['label'].shape == (48, 64)
+        assert item['label'].max() < 19
+        assert item['weather_condition'] in WEATHER_CONDITIONS
+        assert item['dataset'] == 'synthetic'
+
+    def test_weather_variety(self, synthetic_dataset_dir):
+        ds = CityscapesKITTIDataset(synthetic_dataset_dir, split='train',
+                                    image_size=(48, 64), seed=0)
+        weathers = {ds[i]['weather_condition'] for i in range(50)}
+        assert len(weathers) >= 3
+
+    def test_restricted_weather_conditions(self, synthetic_dataset_dir):
+        ds = CityscapesKITTIDataset(synthetic_dataset_dir, split='train',
+                                    image_size=(48, 64),
+                                    weather_conditions=['clean', 'fog'],
+                                    seed=0)
+        for i in range(20):
+            assert ds[i]['weather_condition'] in ('clean', 'fog')
+
+    def test_cityscapes_scanner(self, tmp_path):
+        """Directory layout per loader.py:109-138."""
+        img_dir = tmp_path / 'cityscapes/leftImg8bit/train/cityA'
+        lbl_dir = tmp_path / 'cityscapes/gtFine/train/cityA'
+        img_dir.mkdir(parents=True)
+        lbl_dir.mkdir(parents=True)
+        import cv2
+        img = np.random.randint(0, 255, (32, 48, 3), dtype=np.uint8)
+        lbl = np.random.randint(0, 19, (32, 48), dtype=np.uint8)
+        cv2.imwrite(str(img_dir / 'f1_leftImg8bit.png'), img)
+        cv2.imwrite(str(lbl_dir / 'f1_gtFine_labelIds.png'), lbl)
+        ds = CityscapesKITTIDataset(str(tmp_path), split='train',
+                                    image_size=(32, 48),
+                                    dataset_type='cityscapes', seed=0)
+        assert len(ds) == 1
+        item = ds[0]
+        assert item['dataset'] == 'cityscapes'
+        assert item['image'].shape == (32, 48, 3)
+
+    def test_kitti_scanner(self, tmp_path):
+        """Directory layout per loader.py:140-163."""
+        img_dir = tmp_path / 'kitti/training/image_2'
+        lbl_dir = tmp_path / 'kitti/training/semantic'
+        img_dir.mkdir(parents=True)
+        lbl_dir.mkdir(parents=True)
+        import cv2
+        cv2.imwrite(str(img_dir / '000000_10.png'),
+                    np.random.randint(0, 255, (32, 48, 3), dtype=np.uint8))
+        cv2.imwrite(str(lbl_dir / '000000_10.png'),
+                    np.random.randint(0, 19, (32, 48), dtype=np.uint8))
+        ds = CityscapesKITTIDataset(str(tmp_path), split='train',
+                                    image_size=(32, 48),
+                                    dataset_type='kitti', seed=0)
+        assert len(ds) == 1
+        assert ds[0]['dataset'] == 'kitti'
+
+
+class TestBatchIterator:
+    def test_batching_and_drop_last(self, synthetic_dataset_dir):
+        ds = CityscapesKITTIDataset(synthetic_dataset_dir, split='val',
+                                    image_size=(48, 64), seed=0)  # 20 samples
+        # shuffle → drop_last (loader.py:418)
+        it = BatchIterator(ds, batch_size=8, shuffle=True, seed=0)
+        batches = list(it)
+        assert len(batches) == 2
+        assert all(b['image'].shape[0] == 8 for b in batches)
+        # no shuffle → keep remainder
+        it = BatchIterator(ds, batch_size=8, shuffle=False)
+        batches = list(it)
+        assert len(batches) == 3
+        assert batches[-1]['image'].shape[0] == 4
+
+    def test_batch_contents(self, synthetic_dataset_dir):
+        ds = CityscapesKITTIDataset(synthetic_dataset_dir, split='val',
+                                    image_size=(48, 64), seed=0)
+        batch = next(iter(BatchIterator(ds, batch_size=4, shuffle=False)))
+        assert batch['image'].shape == (4, 48, 64, 3)
+        assert batch['label'].shape == (4, 48, 64)
+        assert batch['weather_id'].shape == (4,)
+        assert len(batch['weather_condition']) == 4
+
+    def test_shuffle_differs_across_epochs(self, synthetic_dataset_dir):
+        ds = CityscapesKITTIDataset(synthetic_dataset_dir, split='train',
+                                    image_size=(48, 64), seed=0)
+        it = BatchIterator(ds, batch_size=10, shuffle=True, seed=0)
+        e1 = [tuple(b['sample_id']) for b in it]
+        e2 = [tuple(b['sample_id']) for b in it]
+        assert e1 != e2
+
+
+class TestPrepareBatch:
+    def test_output_contract(self, tiny_batch):
+        keys = per_sample_keys(jax.random.PRNGKey(0),
+                               jnp.asarray(tiny_batch['sample_id']))
+        out = prepare_batch(jnp.asarray(tiny_batch['image']),
+                            jnp.asarray(tiny_batch['label']),
+                            jnp.asarray(tiny_batch['weather_id']), keys,
+                            train=False, include_depth=True)
+        assert out['image'].dtype == jnp.float32
+        assert out['image'].shape == tiny_batch['image'].shape
+        assert out['depth'].shape == tiny_batch['image'].shape[:3]
+        assert float(out['depth'].min()) >= 0.0
+        assert float(out['depth'].max()) <= 1.0
+
+    def test_normalization_matches_albumentations_formula(self):
+        img = np.random.randint(0, 255, (1, 8, 8, 3), dtype=np.uint8)
+        out = np.asarray(normalize_imagenet(jnp.asarray(img)))
+        mean = np.array([0.485, 0.456, 0.406])
+        std = np.array([0.229, 0.224, 0.225])
+        expected = (img / 255.0 - mean) / std
+        assert np.allclose(out, expected, atol=1e-6)
+
+    def test_train_augmentation_flips_label_with_image(self, tiny_batch):
+        """When a flip fires, image and label flip together."""
+        keys = per_sample_keys(jax.random.PRNGKey(0),
+                               jnp.asarray(tiny_batch['sample_id']))
+        clean_ids = np.zeros(4, np.int32)  # clean → corruption is identity
+        out = prepare_batch(jnp.asarray(tiny_batch['image']),
+                            jnp.asarray(tiny_batch['label']),
+                            jnp.asarray(clean_ids), keys,
+                            aug_key=jax.random.PRNGKey(7), train=True,
+                            include_depth=False)
+        lbl = np.asarray(out['label'])
+        orig = tiny_batch['label']
+        flipped = orig[:, :, ::-1]
+        for i in range(4):
+            assert (np.array_equal(lbl[i], orig[i]) or
+                    np.array_equal(lbl[i], flipped[i]))
+
+    def test_jit_compiles_once_for_mixed_weather(self, tiny_batch):
+        """One program handles any weather composition (lax.switch)."""
+        f = jax.jit(lambda i, l, w, k: prepare_batch(i, l, w, k, train=False,
+                                                     include_depth=False))
+        keys = per_sample_keys(jax.random.PRNGKey(0),
+                               jnp.asarray(tiny_batch['sample_id']))
+        img = jnp.asarray(tiny_batch['image'])
+        lbl = jnp.asarray(tiny_batch['label'])
+        f(img, lbl, jnp.asarray([0, 1, 2, 3], jnp.int32), keys)
+        f(img, lbl, jnp.asarray([4, 3, 2, 1], jnp.int32), keys)
+        assert f._cache_size() == 1

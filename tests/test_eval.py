@@ -1,0 +1,101 @@
+"""Evaluator tests: end-to-end sweep on synthetic data + report generation.
+
+Mirrors the reference's evaluate-path behavior (scripts/evaluate.py:134-392):
+result schema keys, degradation ratios, report files, targets table.
+"""
+
+import json
+
+import jax
+import pytest
+
+from awsegbench.data import BatchIterator, CityscapesKITTIDataset
+from awsegbench.eval import Evaluator, generate_evaluation_report
+from awsegbench.models import EnsembleModel, SegFormerModel, init_model
+from awsegbench.models.deeplab import DeepLabV3PlusModel
+import jax.numpy as jnp
+
+
+class _TinyEnsemble(EnsembleModel):
+    def setup(self):
+        self.segformer = SegFormerModel(num_classes=self.num_classes,
+                                        include_depth=self.include_depth,
+                                        hidden_sizes=(8, 16, 20, 32),
+                                        depths=(1, 1, 1, 1))
+        self.deeplabv3plus = DeepLabV3PlusModel(num_classes=self.num_classes,
+                                                include_depth=self.include_depth,
+                                                encoder_layers=(1, 1, 1, 1),
+                                                encoder_widths=(8, 12, 16, 24))
+        self.ensemble_weights = self.param(
+            'ensemble_weights', lambda _: jnp.ones((2,), jnp.float32) / 2)
+        if self.temperature_scaling:
+            self.temperature = self.param(
+                'temperature', lambda _: jnp.ones((1,), jnp.float32))
+
+
+@pytest.fixture
+def eval_setup(test_config, synthetic_dataset_dir):
+    model = _TinyEnsemble(num_classes=5, include_depth=False)
+    variables = init_model(model, jax.random.PRNGKey(0), (1, 32, 48, 3))
+    ds = CityscapesKITTIDataset(synthetic_dataset_dir, 'test',
+                                image_size=(32, 48), seed=0)
+    ds.samples = ds.samples[:8]
+    loader = BatchIterator(ds, batch_size=4, shuffle=False)
+    return model, variables, loader
+
+
+@pytest.mark.slow
+class TestEvaluator:
+    def test_sweep_result_schema(self, eval_setup, test_config):
+        model, variables, loader = eval_setup
+        ev = Evaluator(model, variables, test_config)
+        results = ev.run(loader)
+        assert 'overall_miou' in results
+        assert 0.0 <= results['overall_miou'] <= 1.0
+        assert 'expected_calibration_error' in results
+        assert 'ensemble_disagreement_auroc' in results
+        assert 0.0 <= results['ensemble_disagreement_auroc'] <= 1.0
+        # per-weather keys exist for weathers that appeared
+        assert any(k.startswith('miou_') for k in results)
+        assert results['_num_images'] == 8
+
+    def test_degradation_ratio_when_clean_present(self, eval_setup,
+                                                  test_config):
+        model, variables, loader = eval_setup
+        ev = Evaluator(model, variables, test_config)
+        results = ev.run(loader)
+        if 'miou_clean' in results:
+            for w in ['fog', 'rain', 'snow', 'night']:
+                if f'miou_{w}' in results:
+                    assert f'robustness_degradation_{w}' in results
+                    assert 0.0 <= results[f'robustness_degradation_{w}'] <= 1.0
+
+    def test_exact_auroc_mode_close_to_histogram(self, eval_setup,
+                                                 test_config):
+        model, variables, loader = eval_setup
+        hist = Evaluator(model, variables, test_config).run(loader)
+        exact = Evaluator(model, variables, test_config,
+                          collect_exact_auroc=True).run(loader)
+        assert abs(hist['ensemble_disagreement_auroc'] -
+                   exact['ensemble_disagreement_auroc']) < 1e-3
+
+
+class TestReport:
+    def test_report_files_and_targets_table(self, tmp_path):
+        results = {
+            'overall_miou': 0.5, 'miou_clean': 0.6, 'miou_fog': 0.4,
+            'expected_calibration_error': 0.03,
+            'ensemble_disagreement_auroc': 0.9,
+            'robustness_degradation_fog': 0.33,
+            'robustness_degradation_ratio': 0.33,
+        }
+        generate_evaluation_report(results, tmp_path)
+        assert (tmp_path / 'evaluation_results.json').exists()
+        assert (tmp_path / 'evaluation_report.md').exists()
+        saved = json.loads((tmp_path / 'evaluation_results.json').read_text())
+        assert saved['overall_miou'] == 0.5
+        report = (tmp_path / 'evaluation_report.md').read_text()
+        # default targets table (scripts/evaluate.py:300-308)
+        assert 'miou_clean | 0.780' in report.replace('|  ', '| ') or \
+               '0.780' in report
+        assert 'Disagreement AUROC' in report

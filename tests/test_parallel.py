@@ -1,0 +1,89 @@
+"""Mesh/sharding tests on the virtual 8-device CPU topology.
+
+The reference has NO distributed layer (SURVEY.md §2.2) — this coverage is
+new: mesh creation, batch sharding, replication, padded uneven batches, and
+numerical invariance of sharded vs single-device metric accumulation.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from awsegbench.core.mesh import (batch_sharding, create_mesh,
+                                  pad_batch_to_multiple, replicated_sharding,
+                                  shard_batch)
+from awsegbench.metrics.iou import confusion_matrix
+
+
+class TestMesh:
+    def test_auto_mesh_uses_all_devices(self):
+        mesh = create_mesh()
+        assert mesh.devices.size == len(jax.devices())
+        assert mesh.axis_names == ('data',)
+
+    def test_2d_mesh(self):
+        mesh = create_mesh(mesh_shape={'data': 4, 'model': 2})
+        assert mesh.axis_names == ('data', 'model')
+        assert mesh.devices.shape == (4, 2)
+
+    def test_2d_mesh_wrong_size_raises(self):
+        with pytest.raises(ValueError):
+            create_mesh(mesh_shape={'data': 3, 'model': 2})
+
+    def test_shard_batch_places_on_data_axis(self):
+        mesh = create_mesh()
+        n = mesh.devices.size
+        batch = {'x': np.zeros((n * 2, 4, 4), np.float32)}
+        sharded = shard_batch(batch, mesh)
+        spec = sharded['x'].sharding.spec
+        assert spec == P('data')
+
+    def test_pad_batch_to_multiple(self):
+        batch = {'x': np.arange(10, dtype=np.float32).reshape(5, 2)}
+        padded, orig = pad_batch_to_multiple(batch, 8)
+        assert orig == 5
+        assert padded['x'].shape == (8, 2)
+        assert np.array_equal(padded['x'][:5], batch['x'])
+
+
+class TestShardedCompute:
+    def test_sharded_confusion_equals_single_device(self):
+        mesh = create_mesh()
+        n = mesh.devices.size
+        rng = np.random.default_rng(0)
+        preds = rng.integers(0, 5, (n * 2, 16, 16)).astype(np.int32)
+        targets = rng.integers(0, 5, (n * 2, 16, 16)).astype(np.int32)
+
+        single = np.asarray(confusion_matrix(jnp.asarray(preds),
+                                             jnp.asarray(targets), 5))
+
+        data = batch_sharding(mesh)
+        rep = replicated_sharding(mesh)
+        f = jax.jit(lambda p, t: confusion_matrix(p, t, 5),
+                    in_shardings=(data, data), out_shardings=rep)
+        sharded = np.asarray(f(preds, targets))
+        assert np.array_equal(single, sharded)
+
+    def test_sharded_forward_matches_single_device(self):
+        """A jitted model forward over the 8-device mesh must equal the
+        single-device result (replicated params, sharded batch)."""
+        from awsegbench.models import SegFormerModel, init_model
+        mesh = create_mesh()
+        n = mesh.devices.size
+        model = SegFormerModel(num_classes=5, include_depth=False,
+                               hidden_sizes=(8, 16, 20, 32),
+                               depths=(1, 1, 1, 1))
+        variables = init_model(model, jax.random.PRNGKey(0), (1, 32, 48, 3))
+        x = np.asarray(jax.random.normal(jax.random.PRNGKey(1),
+                                         (n, 32, 48, 3)), dtype=np.float32)
+
+        ref = model.apply(variables, jnp.asarray(x), train=False)['segmentation']
+
+        data = batch_sharding(mesh)
+        rep = replicated_sharding(mesh)
+        f = jax.jit(lambda v, xx: model.apply(v, xx, train=False)['segmentation'],
+                    in_shardings=(rep, data), out_shardings=data)
+        out = f(variables, x)
+        assert np.allclose(np.asarray(ref), np.asarray(out), atol=1e-5)

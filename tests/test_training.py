@@ -1,0 +1,236 @@
+"""Trainer tests — coverage map mirrors reference tests/test_training.py:
+EarlyStopping state machine incl. weight restoration, trainer construction
+with each optimizer/loss, real train/validate epochs on synthetic data,
+checkpoint save/reload cycle, short full train() run, fog-density
+estimation shape, early-stopping integration, scheduler semantics.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from awsegbench.data import BatchIterator, CityscapesKITTIDataset
+from awsegbench.losses.fog_density import FogDensityAwareLoss
+from awsegbench.models import SegFormerModel
+from awsegbench.train import (AdverseWeatherTrainer, CosineAnnealingLR,
+                              EarlyStopping, ReduceLROnPlateau, StepLR,
+                              fog_density_from_weather)
+from awsegbench.train.trainer import TrainState
+
+
+def _tiny_model(num_classes=5):
+    return SegFormerModel(num_classes=num_classes, include_depth=True,
+                          hidden_sizes=(8, 16, 20, 32), depths=(1, 1, 1, 1))
+
+
+def _loaders(data_dir, n_train=8, n_val=4, batch_size=2, hw=(32, 48)):
+    train_ds = CityscapesKITTIDataset(data_dir, 'train', image_size=hw, seed=0)
+    val_ds = CityscapesKITTIDataset(data_dir, 'val', image_size=hw, seed=1)
+    train_ds.samples = train_ds.samples[:n_train]
+    val_ds.samples = val_ds.samples[:n_val]
+    return (BatchIterator(train_ds, batch_size=batch_size, shuffle=True, seed=0),
+            BatchIterator(val_ds, batch_size=batch_size, shuffle=False))
+
+
+def _trainer(test_config, tmp_path, synthetic_dataset_dir, **overrides):
+    cfg = test_config.to_dict()
+    cfg['mlflow']['enabled'] = False
+    cfg.update(overrides)
+    tl, vl = _loaders(synthetic_dataset_dir)
+    return AdverseWeatherTrainer(
+        _tiny_model(), tl, vl, cfg,
+        checkpoint_dir=str(tmp_path / 'ckpt'),
+        log_dir=str(tmp_path / 'logs'))
+
+
+class TestEarlyStopping:
+    def _dummy_state(self, value):
+        import optax
+        return TrainState.create(
+            apply_fn=lambda *a, **k: None,
+            params={'w': jnp.asarray([value])},
+            batch_stats={},
+            tx=optax.sgd(0.1))
+
+    def test_improvement_resets_counter(self):
+        es = EarlyStopping(patience=2, min_delta=0.01)
+        s = self._dummy_state(1.0)
+        stop, s = es(1.0, s)
+        assert not stop and es.counter == 0
+        stop, s = es(0.9, s)
+        assert not stop and es.counter == 0
+
+    def test_stops_after_patience(self):
+        es = EarlyStopping(patience=2, min_delta=0.01)
+        s = self._dummy_state(1.0)
+        es(1.0, s)
+        stop, s = es(1.0, s)      # no improvement (< min_delta)
+        assert not stop and es.counter == 1
+        stop, s = es(1.0, s)
+        assert stop
+
+    def test_restores_best_weights(self):
+        es = EarlyStopping(patience=1, min_delta=0.0,
+                           restore_best_weights=True)
+        s = self._dummy_state(1.0)
+        es(0.5, s)                          # best snapshot at w=1.0
+        s = s.replace(params={'w': jnp.asarray([99.0])})
+        stop, s = es(0.7, s)                # worse → stop, restore
+        assert stop
+        assert float(np.asarray(s.params['w'])[0]) == 1.0
+
+
+class TestSchedulers:
+    def test_cosine_matches_torch_closed_form(self):
+        import math
+        sch = CosineAnnealingLR(0.1, t_max=10, eta_min=0.001)
+        assert sch.current_lr == 0.1          # epoch 0
+        lrs = [sch.step() for _ in range(10)]
+        for e, lr in enumerate(lrs, start=1):
+            expected = 0.001 + (0.1 - 0.001) * (1 + math.cos(math.pi * e / 10)) / 2
+            assert abs(lr - expected) < 1e-12
+
+    def test_step_lr(self):
+        sch = StepLR(0.1, step_size=2, gamma=0.1)
+        lrs = [sch.step() for _ in range(4)]
+        assert abs(lrs[0] - 0.1) < 1e-12      # epoch 1
+        assert abs(lrs[1] - 0.01) < 1e-12     # epoch 2
+        assert abs(lrs[3] - 0.001) < 1e-12    # epoch 4
+
+    def test_plateau(self):
+        sch = ReduceLROnPlateau(0.1, patience=1, factor=0.5)
+        assert sch.step(1.0) == 0.1       # first → best
+        assert sch.step(1.0) == 0.1       # bad 1 (<= patience)
+        assert sch.step(1.0) == 0.05      # bad 2 → reduce
+        assert sch.step(0.5) == 0.05      # improvement keeps lr
+
+
+class TestFogDensity:
+    def test_fog_density_from_weather_ranges(self):
+        wids = jnp.asarray([0, 1, 2, 3, 4], jnp.int32)
+        fd = np.asarray(fog_density_from_weather(wids, jax.random.PRNGKey(0),
+                                                 16, 16))
+        assert fd.shape == (5, 16, 16)
+        assert 0.5 <= fd[1].min() and fd[1].max() <= 1.0      # fog
+        assert 0.2 <= fd[2].min() and fd[2].max() <= 0.5      # rain
+        assert 0.2 <= fd[3].min() and fd[3].max() <= 0.5      # snow
+        assert fd[0].max() <= 0.1 and fd[4].max() <= 0.1      # clean/night
+
+
+class TestLoss:
+    def _pred_targets(self):
+        b, h, w, c = 2, 8, 8, 5
+        rng = np.random.default_rng(0)
+        preds = {
+            'segmentation': jnp.asarray(rng.normal(size=(b, h, w, c)),
+                                        dtype=jnp.float32),
+            'depth': jnp.asarray(rng.random((b, h, w, 1)), dtype=jnp.float32),
+        }
+        targets = {
+            'label': jnp.asarray(rng.integers(0, c, (b, h, w))),
+            'depth': jnp.asarray(rng.random((b, h, w)), dtype=jnp.float32),
+        }
+        return preds, targets
+
+    def test_loss_dict_structure(self):
+        preds, targets = self._pred_targets()
+        loss = FogDensityAwareLoss()
+        out = loss(preds, targets,
+                   fog_density=jnp.ones(targets['label'].shape) * 0.5)
+        assert set(out) == {'total_loss', 'segmentation_loss', 'depth_loss'}
+        assert float(out['total_loss']) > 0
+
+    def test_fog_weight_increases_loss(self):
+        preds, targets = self._pred_targets()
+        loss = FogDensityAwareLoss(fog_sensitivity=2.0)
+        lo = loss(preds, targets, fog_density=jnp.zeros(targets['label'].shape))
+        hi = loss(preds, targets, fog_density=jnp.ones(targets['label'].shape))
+        assert float(hi['segmentation_loss']) > float(lo['segmentation_loss'])
+        # weight 1 + 2·1 = 3×
+        assert abs(float(hi['segmentation_loss']) /
+                   float(lo['segmentation_loss']) - 3.0) < 1e-5
+
+    def test_fog_density_derived_from_depth_when_absent(self):
+        preds, targets = self._pred_targets()
+        loss = FogDensityAwareLoss()
+        with_none = loss(preds, targets, fog_density=None)
+        no_depth_preds = {'segmentation': preds['segmentation']}
+        without_depth = loss(no_depth_preds, targets, fog_density=None)
+        assert (float(with_none['segmentation_loss']) !=
+                float(without_depth['segmentation_loss']))
+
+    def test_focal_loss_path(self):
+        preds, targets = self._pred_targets()
+        focal = FogDensityAwareLoss(base_loss='focal')
+        ce = FogDensityAwareLoss(base_loss='cross_entropy')
+        fd = jnp.zeros(targets['label'].shape)
+        assert (float(focal(preds, targets, fd)['segmentation_loss']) !=
+                float(ce(preds, targets, fd)['segmentation_loss']))
+
+    def test_depth_loss_only_with_target(self):
+        preds, targets = self._pred_targets()
+        loss = FogDensityAwareLoss()
+        fd = jnp.zeros(targets['label'].shape)
+        with_d = loss(preds, targets, fd)
+        without_d = loss(preds, {'label': targets['label']}, fd)
+        assert float(with_d['depth_loss']) > 0
+        assert float(without_d['depth_loss']) == 0.0
+
+    def test_sample_mask_excludes_padding(self):
+        preds, targets = self._pred_targets()
+        loss = FogDensityAwareLoss()
+        fd = jnp.zeros(targets['label'].shape)
+        masked = loss(preds, targets, fd,
+                      sample_mask=jnp.asarray([True, False]))
+        first_only = loss(
+            {k: v[:1] for k, v in preds.items()},
+            {k: v[:1] for k, v in targets.items()}, fd[:1])
+        assert abs(float(masked['segmentation_loss']) -
+                   float(first_only['segmentation_loss'])) < 1e-6
+
+
+@pytest.mark.slow
+class TestTrainerIntegration:
+    @pytest.mark.parametrize('opt_type', ['adamw', 'sgd', 'adam'])
+    def test_optimizer_types_construct(self, test_config, tmp_path,
+                                       synthetic_dataset_dir, opt_type):
+        cfg = test_config.to_dict()
+        cfg['optimizer']['type'] = opt_type
+        tr = _trainer(test_config, tmp_path, synthetic_dataset_dir,
+                      optimizer=cfg['optimizer'])
+        assert tr.state is not None
+
+    def test_single_train_and_validate_epoch(self, test_config, tmp_path,
+                                             synthetic_dataset_dir):
+        tr = _trainer(test_config, tmp_path, synthetic_dataset_dir, epochs=1)
+        tm = tr.train_epoch()
+        assert tm['train_loss'] > 0
+        assert tm['train_samples'] == 8
+        vm = tr.validate_epoch()
+        assert 'val_miou' in vm and 0.0 <= vm['val_miou'] <= 1.0
+        assert vm['val_samples'] == 4
+
+    def test_full_train_loop_and_checkpoints(self, test_config, tmp_path,
+                                             synthetic_dataset_dir):
+        tr = _trainer(test_config, tmp_path, synthetic_dataset_dir, epochs=2)
+        res = tr.train()
+        assert res['total_epochs'] <= 2
+        assert len(res['history']['train']) == res['total_epochs']
+        assert (tmp_path / 'ckpt' / 'latest').exists()
+        # reload round trip
+        old_params = jax.tree_util.tree_leaves(tr.state.params)[0]
+        tr.load_checkpoint('latest')
+        new_params = jax.tree_util.tree_leaves(tr.state.params)[0]
+        assert np.allclose(np.asarray(old_params), np.asarray(new_params))
+
+    def test_early_stopping_integration(self, test_config, tmp_path,
+                                        synthetic_dataset_dir):
+        tr = _trainer(test_config, tmp_path, synthetic_dataset_dir,
+                      epochs=10,
+                      early_stopping={'patience': 1, 'min_delta': 10.0,
+                                      'restore_best_weights': True})
+        res = tr.train()
+        # min_delta so large nothing counts as improvement → stop after
+        # patience+1 epochs
+        assert res['total_epochs'] <= 3
