@@ -3,6 +3,7 @@
 from .dataset import CITYSCAPES_CLASSES, CityscapesKITTIDataset
 from .pipeline import (
     IMAGENET_MEAN,
+    create_dataloader,
     IMAGENET_STD,
     BatchIterator,
     normalize_imagenet,
@@ -11,5 +12,6 @@ from .pipeline import (
 
 __all__ = [
     "CityscapesKITTIDataset", "CITYSCAPES_CLASSES", "BatchIterator",
+    "create_dataloader",
     "prepare_batch", "normalize_imagenet", "IMAGENET_MEAN", "IMAGENET_STD",
 ]

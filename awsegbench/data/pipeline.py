@@ -103,6 +103,20 @@ class BatchIterator:
             yield item
 
 
+def create_dataloader(dataset, batch_size: int = 8, shuffle: bool = True,
+                      num_workers: int = 4, pin_memory: bool = True,
+                      **kwargs) -> BatchIterator:
+    """Reference-compatible loader factory (loader.py:390-420).
+
+    ``pin_memory`` is accepted for drop-in compatibility and ignored — JAX
+    manages host→device transfer; ``drop_last`` defaults to ``shuffle``.
+    """
+    return BatchIterator(dataset, batch_size=batch_size, shuffle=shuffle,
+                         num_threads=num_workers,
+                         drop_last=kwargs.pop('drop_last', None),
+                         **kwargs)
+
+
 def normalize_imagenet(images_u8: jax.Array) -> jax.Array:
     """albumentations Normalize(ImageNet) : (x/255 − mean)/std, NHWC float32."""
     mean = jnp.asarray(IMAGENET_MEAN, jnp.float32)

@@ -8,7 +8,7 @@ device inside one jitted step:
 * [6, C, C] confusion matrices (overall + 5 weathers) → mIoU,
 * [6, num_bins, 3] ECE bin stats (overall + per weather),
 * [K, 2] disagreement-score histogram (pos=error / neg=correct) → AUROC
-  with within-bin tie correction (equals sklearn within ~1e-5 at K=16384;
+  with within-bin tie correction (log-spaced 2^20 bins, equals sklearn within ~1e-4;
   'exact' mode additionally collects raw scores for small test sets).
 
 One host transfer happens at sweep end. Result keys match the reference:
@@ -42,8 +42,9 @@ from ..weather.corruption import WEATHER_CONDITIONS
 
 logger = logging.getLogger(__name__)
 
-AUROC_BINS = 16384
-# mutual-information disagreement of a 2-member ensemble lies in [~0, ln 2]
+AUROC_BINS = 1 << 20   # 8 MB of (pos, neg) counts — log-spaced bins
+# mutual-information disagreement of a 2-member ensemble lies in [~0, ln 2];
+# the 1e-8 log-epsilon quirk can push it a hair negative
 AUROC_RANGE = (-0.01, 0.75)
 
 
@@ -112,7 +113,8 @@ class Evaluator:
                 valid = (lbl != 255) & sample_mask[:, None, None]
                 acc['auroc_hist'] = acc['auroc_hist'] + auroc_histogram_update(
                     dis.reshape(-1), errors.reshape(-1), AUROC_BINS,
-                    *AUROC_RANGE, weights=valid.reshape(-1))
+                    *AUROC_RANGE, weights=valid.reshape(-1),
+                    log_scale=True)
                 if self.collect_exact_auroc:
                     out['disagreement'] = dis
                     out['errors'] = jnp.where(valid, errors, -1.0)
@@ -191,15 +193,17 @@ class Evaluator:
                     ece_from_bins(jnp.asarray(acc['ece'][1 + wid])))
 
         if acc['auroc_hist'].sum() > 0:
+            hist_auroc = float(
+                auroc_from_histogram(jnp.asarray(acc['auroc_hist'])))
             if self.collect_exact_auroc and exact_scores:
                 s = np.concatenate(exact_scores)
                 e = np.concatenate(exact_errors)
                 keep = e >= 0
                 results['ensemble_disagreement_auroc'] = float(
                     auroc_exact(jnp.asarray(s[keep]), jnp.asarray(e[keep])))
+                results['_auroc_histogram_estimate'] = hist_auroc
             else:
-                results['ensemble_disagreement_auroc'] = float(
-                    auroc_from_histogram(jnp.asarray(acc['auroc_hist'])))
+                results['ensemble_disagreement_auroc'] = hist_auroc
 
         # degradation ratios (scripts/evaluate.py:257-271)
         if 'clean' in weather_mious:

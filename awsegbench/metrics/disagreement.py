@@ -33,7 +33,9 @@ def disagreement_map(logits_list: Sequence[jax.Array],
                        for l in logits_list], axis=0)
     mean_probs = probs.mean(axis=0)
     mean_entropy = -jnp.sum(mean_probs * jnp.log(mean_probs + 1e-8), axis=class_axis)
-    individual_entropies = -jnp.sum(probs * jnp.log(probs + 1e-8), axis=class_axis + 1)
+    # the stack adds a leading member axis: shift non-negative class axes by 1
+    stacked_axis = class_axis if class_axis < 0 else class_axis + 1
+    individual_entropies = -jnp.sum(probs * jnp.log(probs + 1e-8), axis=stacked_axis)
     mean_individual_entropy = individual_entropies.mean(axis=0)
     return mean_entropy - mean_individual_entropy
 
@@ -112,16 +114,27 @@ def auroc_exact(scores: jax.Array, labels: jax.Array,
 
 def auroc_histogram_update(scores: jax.Array, labels: jax.Array,
                            num_bins: int, lo: float, hi: float,
-                           weights: jax.Array | None = None) -> jax.Array:
+                           weights: jax.Array | None = None,
+                           log_scale: bool = False) -> jax.Array:
     """Streaming AUROC accumulator: per-bin (pos, neg) counts [num_bins, 2].
 
     psum-reducible across batches/devices; combine with
-    :func:`auroc_from_histogram`.
+    :func:`auroc_from_histogram`. ``log_scale`` bins log(score−lo+1e-9)
+    instead — AUROC is invariant under monotone transforms, and log bins
+    keep relative resolution when scores cluster near the low end (e.g.
+    mutual-information disagreement of nearly-agreeing members).
     """
     scores = scores.astype(jnp.float32).reshape(-1)
     labels = labels.astype(jnp.float32).reshape(-1)
     w = jnp.ones_like(labels) if weights is None else weights.astype(jnp.float32).reshape(-1)
-    t = jnp.clip((scores - lo) / jnp.maximum(hi - lo, 1e-12), 0.0, 1.0 - 1e-7)
+    if log_scale:
+        eps = 1e-9
+        s = jnp.log(jnp.maximum(scores - lo, 0.0) + eps)
+        s_lo = jnp.log(eps)
+        s_hi = jnp.log(hi - lo + eps)
+        t = jnp.clip((s - s_lo) / (s_hi - s_lo), 0.0, 1.0 - 1e-7)
+    else:
+        t = jnp.clip((scores - lo) / jnp.maximum(hi - lo, 1e-12), 0.0, 1.0 - 1e-7)
     idx = (t * num_bins).astype(jnp.int32)
     hist = jnp.zeros((num_bins, 2), dtype=jnp.float32)
     hist = hist.at[idx, 0].add(labels * w)

@@ -72,12 +72,12 @@ class TestEvaluator:
 
     def test_exact_auroc_mode_close_to_histogram(self, eval_setup,
                                                  test_config):
+        """Exact and streaming-histogram AUROC over the SAME sweep agree."""
         model, variables, loader = eval_setup
-        hist = Evaluator(model, variables, test_config).run(loader)
-        exact = Evaluator(model, variables, test_config,
-                          collect_exact_auroc=True).run(loader)
-        assert abs(hist['ensemble_disagreement_auroc'] -
-                   exact['ensemble_disagreement_auroc']) < 1e-3
+        res = Evaluator(model, variables, test_config,
+                        collect_exact_auroc=True).run(loader)
+        assert abs(res['_auroc_histogram_estimate'] -
+                   res['ensemble_disagreement_auroc']) < 1e-3
 
 
 class TestReport:
