@@ -128,15 +128,28 @@ def apply_fog(image: jax.Array, key: jax.Array,
 # splat rasterization (rain streaks / snow flakes)
 # ---------------------------------------------------------------------------
 
+def _use_pallas() -> bool:
+    """Pallas splat kernel on real TPU backends; XLA scan elsewhere."""
+    try:
+        return jax.default_backend() in ('tpu', 'axon')
+    except Exception:  # pragma: no cover
+        return False
+
+
 def _segment_coverage(h: int, w: int, ax, ay, bx, by, radius, valid) -> jax.Array:
     """Union coverage mask of N capsule segments over an H×W grid.
 
     For each pixel P and segment AB with half-width r:
-    covered iff dist(P, AB)² ≤ r². Chunked over segments to bound memory;
-    this is the data-parallel reformulation of the reference's sequential
-    cv2.line loop (preprocessing.py:142-163).
-    Returns [H, W] bool.
+    covered iff dist(P, AB)² ≤ r². On TPU this dispatches to the Pallas
+    splat kernel (ops/splat.py: mask tile resident in VMEM, per-tile
+    bounding-box cull); elsewhere it runs the chunked-scan XLA
+    reformulation of the reference's sequential cv2.line loop
+    (preprocessing.py:142-163). Returns [H, W] bool.
     """
+    if _use_pallas():
+        from ..ops.splat import pack_params, splat_coverage_pallas
+        params = pack_params(ax, ay, bx, by, radius, valid)
+        return splat_coverage_pallas(params, h, w) > 0.5
     n = ax.shape[0]
     pad = (-n) % _SPLAT_CHUNK
     def _pad(v):
