@@ -102,6 +102,8 @@ def main(argv=None) -> None:
     if args.device != 'auto':
         config.set('device', args.device)
 
+    from ..core.cache import setup_compilation_cache
+    setup_compilation_cache()
     setup_logging(config)
     platform = get_device_config(config.get('device', 'auto'))
     if platform == 'cpu':

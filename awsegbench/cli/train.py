@@ -104,6 +104,8 @@ def main(argv=None) -> None:
         logger.error(f"Configuration validation failed: {e}")
         sys.exit(1)
 
+    from ..core.cache import setup_compilation_cache
+    setup_compilation_cache()
     seed = config.get('seed', 42)
     set_seed(seed)
 

@@ -10,6 +10,7 @@ from .mesh import (
     replicated_sharding,
     shard_batch,
 )
+from .cache import setup_compilation_cache
 from .precision import Policy, get_policy
 from .prng import RngStreams, per_sample_keys
 
@@ -17,4 +18,5 @@ __all__ = [
     "DATA_AXIS", "MODEL_AXIS", "create_mesh", "batch_sharding",
     "replicated_sharding", "shard_batch", "replicate", "pad_batch_to_multiple",
     "Policy", "get_policy", "RngStreams", "per_sample_keys",
+    "setup_compilation_cache",
 ]

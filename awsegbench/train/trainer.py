@@ -538,30 +538,36 @@ class AdverseWeatherTrainer:
 
     # ---------------------------------------------------------- checkpoints
 
-    def _state_tree(self) -> Dict[str, Any]:
+    def _model_tree(self) -> Dict[str, Any]:
         return {
             'epoch': np.asarray(self.current_epoch),
             'step': np.asarray(self.state.step),
             'params': self.state.params,
             'batch_stats': self.state.batch_stats,
-            'opt_state': self.state.opt_state,
         }
+
+    def _opt_tree(self) -> Dict[str, Any]:
+        return {'opt_state': self.state.opt_state}
 
     def save_checkpoint(self, epoch: int, metrics: Dict[str, float],
                         is_best: bool = False) -> None:
         sched_state = self.scheduler.state_dict() if self.scheduler else None
-        self.ckpt.save(epoch, self._state_tree(),
+        self.ckpt.save(epoch, self._model_tree(), self._opt_tree(),
                        {**metrics, 'scheduler': sched_state},
                        self.config, is_best=is_best)
 
     def load_checkpoint(self, checkpoint_path: str) -> None:
-        tree, meta = self.ckpt.restore(checkpoint_path, self._state_tree())
+        model_tree, opt_tree, meta = self.ckpt.restore(
+            checkpoint_path, self._model_tree(), self._opt_tree())
         self.state = self.state.replace(
-            params=tree['params'], batch_stats=tree['batch_stats'],
-            opt_state=tree['opt_state'], step=int(tree['step']))
+            params=model_tree['params'],
+            batch_stats=model_tree['batch_stats'],
+            step=int(model_tree['step']))
+        if opt_tree is not None:
+            self.state = self.state.replace(opt_state=opt_tree['opt_state'])
         self.state = jax.device_put(self.state,
                                     replicated_sharding(self.mesh))
-        self.current_epoch = int(tree['epoch'])
+        self.current_epoch = int(model_tree['epoch'])
         if self.scheduler and meta.get('metrics', {}).get('scheduler'):
             self.scheduler.load_state_dict(meta['metrics']['scheduler'])
         logger.info(f"Loaded checkpoint from epoch {self.current_epoch + 1}")

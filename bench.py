@@ -83,6 +83,10 @@ def measure_reference_cpu_baseline() -> float:
 
 def measure_tpu_eval() -> float:
     import jax
+    # persistent compile cache: tunnel-backend compiles take minutes; cache
+    # them across processes so repeat bench runs start hot
+    jax.config.update('jax_compilation_cache_dir', '/root/.jax_compile_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
     import jax.numpy as jnp
     import numpy as np
 
@@ -123,7 +127,7 @@ def measure_tpu_eval() -> float:
     # backends where block_until_ready can return at enqueue time.
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
-    n = WARMUP_BATCHES + MEASURE_BATCHES
+    n = 4  # distinct batches, cycled — bounds tunnel transfer volume
     batches = []
     for i in range(n):
         batches.append({
@@ -140,14 +144,14 @@ def measure_tpu_eval() -> float:
     cm = jnp.zeros((19, 19), jnp.float32)
 
     for i in range(WARMUP_BATCHES):
-        b = batches[i]
+        b = batches[i % n]
         cm = step(variables_bf16, b['image'], b['label'], b['weather_id'],
                   b['keys'], cm)
     np.asarray(cm)  # hard completion barrier
 
     t0 = time.perf_counter()
     for i in range(MEASURE_BATCHES):
-        b = batches[WARMUP_BATCHES + i]
+        b = batches[i % n]
         cm = step(variables_bf16, b['image'], b['label'], b['weather_id'],
                   b['keys'], cm)
     np.asarray(cm)  # hard completion barrier
