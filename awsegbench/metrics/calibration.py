@@ -55,11 +55,19 @@ def ece_bin_update(logits: jax.Array, targets: jax.Array, num_bins: int = 15,
     in_any_bin = (conf > 0) & valid
     bin_idx = jnp.clip(bin_idx, 0, num_bins - 1)
 
+    # MXU one-hot matmul instead of scatter-add (see metrics/iou.py):
+    # stats = onehot(bin)ᵀ @ [1, conf, acc] with invalid rows zeroed.
+    # f32 one-hot (not bf16): the confidence column must accumulate at full
+    # precision for ECE parity.
     w = in_any_bin.astype(jnp.float32)
-    stats = jnp.zeros((num_bins, 3), dtype=jnp.float32)
-    stats = stats.at[bin_idx, 0].add(w)
-    stats = stats.at[bin_idx, 1].add(conf * w)
-    stats = stats.at[bin_idx, 2].add(acc * w)
+    bins = jnp.arange(num_bins, dtype=jnp.int32)
+    onehot = ((bin_idx[:, None] == bins[None, :]) & in_any_bin[:, None]
+              ).astype(jnp.float32)
+    cols = jnp.stack([jnp.ones_like(conf), conf, acc], axis=1) * w[:, None]
+    stats = jax.lax.dot_general(
+        onehot, cols,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
     return stats
 
 

@@ -36,13 +36,21 @@ def confusion_matrix(predictions: jax.Array, targets: jax.Array,
         per_sample = int(np.prod(targets.shape[1:])) if targets.ndim > 1 else 1
         valid = valid & jnp.repeat(sample_mask.astype(bool), per_sample)
 
-    # keep ignored pixels in-range but weight them 0
+    # MXU-friendly accumulation: cm = onehot(t)ᵀ @ onehot(p). Scatter-adds
+    # serialize on TPU (~38 ms for 4M pixels); the one-hot matmul runs on
+    # the systolic array in ~1 ms. bf16 one-hots hold 0/1 exactly and the
+    # f32 accumulation is exact for counts < 2^24.
     tgts_safe = jnp.clip(tgts, 0, num_classes - 1)
     preds_safe = jnp.clip(preds, 0, num_classes - 1)
-    idx = tgts_safe * num_classes + preds_safe
-    cm = jnp.zeros((num_classes * num_classes,), dtype=jnp.float32)
-    cm = cm.at[idx].add(valid.astype(jnp.float32))
-    return cm.reshape(num_classes, num_classes)
+    classes = jnp.arange(num_classes, dtype=jnp.int32)
+    onehot_t = ((tgts_safe[:, None] == classes[None, :]) & valid[:, None]
+                ).astype(jnp.bfloat16)
+    onehot_p = (preds_safe[:, None] == classes[None, :]).astype(jnp.bfloat16)
+    cm = jax.lax.dot_general(
+        onehot_t, onehot_p,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return cm
 
 
 def iou_from_confusion(cm: jax.Array) -> Dict[str, jax.Array]:
