@@ -43,6 +43,7 @@ from ..data.pipeline import prepare_batch
 from ..losses.fog_density import FogDensityAwareLoss, cross_entropy_loss
 from ..metrics.iou import confusion_matrix, iou_from_confusion
 from ..metrics.robustness import RobustnessMetrics
+from ..utils.profiling import ThroughputMeter, trace
 from ..weather.corruption import WEATHER_CONDITIONS
 from .checkpoints import CheckpointManager
 from .optim import (create_optimizer, create_scheduler, get_learning_rate,
@@ -395,6 +396,8 @@ class AdverseWeatherTrainer:
                 'train_depth_loss': 0.0}
         n_samples = 0
         lr = (self.scheduler.current_lr if self.scheduler else self.base_lr)
+        meter = ThroughputMeter()
+        meter.start()
 
         for batch in self.train_loader:
             bsz = batch['image'].shape[0]
@@ -418,10 +421,16 @@ class AdverseWeatherTrainer:
             sums['train_seg_loss'] += float(m['seg_loss']) * bsz
             sums['train_depth_loss'] += float(m['depth_loss']) * bsz
             n_samples += bsz
+            meter.update(bsz)
             self.global_step += 1
 
+        meter.stop()
         out = {k: v / max(n_samples, 1) for k, v in sums.items()}
         out['train_samples'] = n_samples
+        out['train_images_per_sec'] = meter.images_per_sec
+        if self.writer:
+            self.writer.add_scalar('Train/ImagesPerSec',
+                                   meter.images_per_sec, self.current_epoch)
         return out
 
     def validate_epoch(self) -> Dict[str, float]:
