@@ -282,7 +282,7 @@ class AdverseWeatherTrainer:
         use_fog = isinstance(self.loss_fn, FogDensityAwareLoss)
 
         def step(state: TrainState, images, labels, weather_ids, sample_ids,
-                 sample_mask, step_key):
+                 sample_mask, step_key, metric_sums):
             k_weather, k_aug, k_dropout, k_fog = jax.random.split(step_key, 4)
             keys = per_sample_keys(k_weather, sample_ids)
             prep = prepare_batch(images, labels, weather_ids, keys,
@@ -307,19 +307,28 @@ class AdverseWeatherTrainer:
             grads, (new_bs, loss_dict) = jax.grad(
                 loss_fn, has_aux=True)(state.params)
             new_state = state.apply_gradients(grads=grads, batch_stats=new_bs)
+            # epoch sums ride on device: (loss, seg, depth) × batch size + n
+            bsz = jnp.sum(sample_mask.astype(jnp.float32))
+            metric_sums = metric_sums + jnp.stack([
+                loss_dict['total_loss'] * bsz,
+                loss_dict['segmentation_loss'] * bsz,
+                loss_dict['depth_loss'] * bsz,
+                bsz,
+            ])
             metrics = {
                 'loss': loss_dict['total_loss'],
                 'seg_loss': loss_dict['segmentation_loss'],
                 'depth_loss': loss_dict['depth_loss'],
             }
-            return new_state, metrics
+            return new_state, metrics, metric_sums
 
         rep = replicated_sharding(self.mesh)
         data = batch_sharding(self.mesh)
         return jax.jit(step,
-                       in_shardings=(rep, data, data, data, data, data, rep),
-                       out_shardings=(rep, rep),
-                       donate_argnums=(0,))
+                       in_shardings=(rep, data, data, data, data, data, rep,
+                                     rep),
+                       out_shardings=(rep, rep, rep),
+                       donate_argnums=(0, 7))
 
     def _build_eval_step(self):
         use_fog = isinstance(self.loss_fn, FogDensityAwareLoss)
@@ -354,19 +363,23 @@ class AdverseWeatherTrainer:
                 updates.append(confusion_matrix(preds, prep['label'],
                                                 self.num_classes,
                                                 sample_mask=mask_w))
-            cm_acc = cm_acc + jnp.stack(updates)
-            metrics = {
-                'loss': loss_dict['total_loss'],
-                'seg_loss': loss_dict['segmentation_loss'],
-                'depth_loss': loss_dict['depth_loss'],
+            bsz = jnp.sum(sample_mask.astype(jnp.float32))
+            acc = {
+                'cm': cm_acc['cm'] + jnp.stack(updates),
+                'sums': cm_acc['sums'] + jnp.stack([
+                    loss_dict['total_loss'] * bsz,
+                    loss_dict['segmentation_loss'] * bsz,
+                    loss_dict['depth_loss'] * bsz,
+                    bsz,
+                ]),
             }
-            return metrics, cm_acc
+            return acc
 
         rep = replicated_sharding(self.mesh)
         data = batch_sharding(self.mesh)
         return jax.jit(step,
                        in_shardings=(rep, data, data, data, data, data, rep, rep),
-                       out_shardings=(rep, rep),
+                       out_shardings=rep,
                        donate_argnums=(7,))
 
     # ------------------------------------------------------------- host utils
@@ -391,43 +404,52 @@ class AdverseWeatherTrainer:
     # ------------------------------------------------------------ public API
 
     def train_epoch(self) -> Dict[str, float]:
-        """One training epoch (reference trainer.py:280-375)."""
-        sums = {'train_loss': 0.0, 'train_seg_loss': 0.0,
-                'train_depth_loss': 0.0}
-        n_samples = 0
+        """One training epoch (reference trainer.py:280-375).
+
+        Loss sums ride on device in the jitted step's carry (one fetch per
+        epoch); per-step TensorBoard scalars are fetched only every
+        ``tb_interval`` steps (reference logs every 10, trainer.py:362-366)
+        so dispatch stays pipelined.
+        """
         lr = (self.scheduler.current_lr if self.scheduler else self.base_lr)
         meter = ThroughputMeter()
         meter.start()
+
+        metric_sums = jax.device_put(jnp.zeros((4,), jnp.float32),
+                                     replicated_sharding(self.mesh))
+        tb_interval = (self.config.get('logging') or {}).get(
+            'tb_interval_steps', 10)
 
         for batch in self.train_loader:
             bsz = batch['image'].shape[0]
             batch, mask = self._pad_batch(batch)
             step_key = self.rngs.fold('weather', self.global_step)
-            self.state, metrics = self._train_step(
+            self.state, metrics, metric_sums = self._train_step(
                 self.state, batch['image'], batch['label'],
-                batch['weather_id'], batch['sample_id'], mask, step_key)
+                batch['weather_id'], batch['sample_id'], mask, step_key,
+                metric_sums)
 
-            if self.global_step % 10 == 0:
+            if self.writer and self.global_step % tb_interval == 0:
                 m = jax.device_get(metrics)
-                if self.writer:
-                    self.writer.add_scalar('Train/Loss', float(m['loss']),
-                                           self.global_step)
-                    self.writer.add_scalar('Train/SegLoss', float(m['seg_loss']),
-                                           self.global_step)
-                    self.writer.add_scalar('Train/LR', lr, self.global_step)
+                self.writer.add_scalar('Train/Loss', float(m['loss']),
+                                       self.global_step)
+                self.writer.add_scalar('Train/SegLoss', float(m['seg_loss']),
+                                       self.global_step)
+                self.writer.add_scalar('Train/LR', lr, self.global_step)
 
-            m = jax.device_get(metrics)
-            sums['train_loss'] += float(m['loss']) * bsz
-            sums['train_seg_loss'] += float(m['seg_loss']) * bsz
-            sums['train_depth_loss'] += float(m['depth_loss']) * bsz
-            n_samples += bsz
             meter.update(bsz)
             self.global_step += 1
 
+        sums = np.asarray(metric_sums)  # single host fetch = sync barrier
         meter.stop()
-        out = {k: v / max(n_samples, 1) for k, v in sums.items()}
-        out['train_samples'] = n_samples
-        out['train_images_per_sec'] = meter.images_per_sec
+        n_samples = float(sums[3])
+        out = {
+            'train_loss': float(sums[0]) / max(n_samples, 1),
+            'train_seg_loss': float(sums[1]) / max(n_samples, 1),
+            'train_depth_loss': float(sums[2]) / max(n_samples, 1),
+            'train_samples': int(n_samples),
+            'train_images_per_sec': meter.images_per_sec,
+        }
         if self.writer:
             self.writer.add_scalar('Train/ImagesPerSec',
                                    meter.images_per_sec, self.current_epoch)
@@ -435,32 +457,34 @@ class AdverseWeatherTrainer:
 
     def validate_epoch(self) -> Dict[str, float]:
         """One validation epoch (reference trainer.py:377-478) with
-        on-device confusion accumulation."""
-        sums = {'val_loss': 0.0, 'val_seg_loss': 0.0, 'val_depth_loss': 0.0}
-        n_samples = 0
+        on-device confusion + loss accumulation (one host fetch)."""
         c = self.num_classes
-        cm_acc = jnp.zeros((1 + len(WEATHER_CONDITIONS), c, c), jnp.float32)
-        cm_acc = jax.device_put(cm_acc, replicated_sharding(self.mesh))
+        acc = {
+            'cm': jnp.zeros((1 + len(WEATHER_CONDITIONS), c, c), jnp.float32),
+            'sums': jnp.zeros((4,), jnp.float32),
+        }
+        acc = jax.device_put(acc, replicated_sharding(self.mesh))
 
         step_offset = 1_000_000_000 + self.current_epoch * 1_000_000
         for i, batch in enumerate(self.val_loader):
-            bsz = batch['image'].shape[0]
             batch, mask = self._pad_batch(batch)
             step_key = self.rngs.fold('weather', step_offset + i)
-            metrics, cm_acc = self._eval_step(
+            acc = self._eval_step(
                 self.state, batch['image'], batch['label'],
                 batch['weather_id'], batch['sample_id'], mask, step_key,
-                cm_acc)
-            m = jax.device_get(metrics)
-            sums['val_loss'] += float(m['loss']) * bsz
-            sums['val_seg_loss'] += float(m['seg_loss']) * bsz
-            sums['val_depth_loss'] += float(m['depth_loss']) * bsz
-            n_samples += bsz
+                acc)
 
-        out = {k: v / max(n_samples, 1) for k, v in sums.items()}
-        out['val_samples'] = n_samples
+        acc = jax.device_get(acc)  # single host fetch = sync barrier
+        sums = np.asarray(acc['sums'])
+        n_samples = float(sums[3])
+        out = {
+            'val_loss': float(sums[0]) / max(n_samples, 1),
+            'val_seg_loss': float(sums[1]) / max(n_samples, 1),
+            'val_depth_loss': float(sums[2]) / max(n_samples, 1),
+            'val_samples': int(n_samples),
+        }
 
-        cms = jax.device_get(cm_acc)
+        cms = acc['cm']
         out['val_miou'] = float(iou_from_confusion(jnp.asarray(cms[0]))['mean_iou'])
         for wid, weather in enumerate(WEATHER_CONDITIONS):
             if cms[1 + wid].sum() > 0:
