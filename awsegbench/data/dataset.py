@@ -36,6 +36,37 @@ try:
 except ImportError:  # pragma: no cover
     _CV2_AVAILABLE = False
 
+from .. import native as _native
+
+
+def _read_image_rgb(path: str):
+    """Decode an image file to RGB uint8: cv2 if present, else the native
+    C++ PNG decoder (awsegbench/native). Returns None on failure."""
+    if _CV2_AVAILABLE:
+        img = cv2.imread(path)
+        if img is None:
+            return None
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    return _native.imread(path)
+
+
+def _read_label_gray(path: str):
+    if _CV2_AVAILABLE:
+        return cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+    return _native.imread(path, grayscale=True)
+
+
+def _resize_rgb(img, hw):
+    if _CV2_AVAILABLE:
+        return cv2.resize(img, (hw[1], hw[0]))
+    return _native.resize_u8(img, hw)
+
+
+def _resize_label(lbl, hw):
+    if _CV2_AVAILABLE:
+        return cv2.resize(lbl, (hw[1], hw[0]), interpolation=cv2.INTER_NEAREST)
+    return _native.resize_u8(lbl, hw, nearest=True)
+
 
 # Cityscapes class mapping (34 raw ids) — loader.py:32-42
 CITYSCAPES_CLASSES = {
@@ -156,14 +187,13 @@ class CityscapesKITTIDataset:
 
     def _load_image(self, image_path: str) -> np.ndarray:
         h, w = self.image_size
-        if 'synthetic' in image_path or not _CV2_AVAILABLE:
+        if 'synthetic' in image_path:
             return self._rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
         try:
             if os.path.exists(image_path):
-                image = cv2.imread(image_path)
+                image = _read_image_rgb(image_path)
                 if image is None:
                     raise ValueError(f"Could not read image from {image_path}")
-                image = cv2.cvtColor(image, cv2.COLOR_BGR2RGB)
             else:
                 return self._rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
         except Exception as e:
@@ -171,16 +201,16 @@ class CityscapesKITTIDataset:
                            "using synthetic image")
             return self._rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
         if image.shape[:2] != self.image_size:
-            image = cv2.resize(image, (w, h))
+            image = _resize_rgb(image, self.image_size)
         return image
 
     def _load_label(self, label_path: str) -> np.ndarray:
         h, w = self.image_size
-        if 'synthetic' in label_path or not _CV2_AVAILABLE:
+        if 'synthetic' in label_path:
             return self._rng.integers(0, 19, (h, w)).astype(np.int32)
         try:
             if os.path.exists(label_path):
-                label = cv2.imread(label_path, cv2.IMREAD_GRAYSCALE)
+                label = _read_label_gray(label_path)
                 if label is None:
                     raise ValueError(f"Could not read label from {label_path}")
             else:
@@ -190,7 +220,7 @@ class CityscapesKITTIDataset:
                            "using synthetic label")
             return self._rng.integers(0, 19, (h, w)).astype(np.int32)
         if label.shape != self.image_size:
-            label = cv2.resize(label, (w, h), interpolation=cv2.INTER_NEAREST)
+            label = _resize_label(label, self.image_size)
         return label.astype(np.int32)
 
     # -- access -------------------------------------------------------------
