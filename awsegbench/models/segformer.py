@@ -78,15 +78,17 @@ class EfficientSelfAttention(nn.Module):
         v = nn.Dense(self.dim, kernel_init=trunc02)(kv_in)
 
         m = kv_in.shape[1]
-        q = q.reshape(b, n, self.num_heads, head_dim).transpose(0, 2, 1, 3)
-        k = k.reshape(b, m, self.num_heads, head_dim).transpose(0, 2, 1, 3)
-        v = v.reshape(b, m, self.num_heads, head_dim).transpose(0, 2, 1, 3)
+        # bnhd layout without explicit head transposes: odd head counts
+        # (e.g. stage 3's 5 heads × 32 dims) make transposed relayouts
+        # pathological on TPU tiling; einsum contracts in place instead.
+        q = q.reshape(b, n, self.num_heads, head_dim)
+        k = k.reshape(b, m, self.num_heads, head_dim)
+        v = v.reshape(b, m, self.num_heads, head_dim)
 
-        attn = jnp.einsum('bhnd,bhmd->bhnm', q, k,
+        attn = jnp.einsum('bnhd,bmhd->bhnm', q, k,
                           preferred_element_type=jnp.float32) * scale
         attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-        out = jnp.einsum('bhnm,bhmd->bhnd', attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(b, n, self.dim)
+        out = jnp.einsum('bhnm,bmhd->bnhd', attn, v).reshape(b, n, self.dim)
         return nn.Dense(self.dim, kernel_init=trunc02)(out)
 
 

@@ -493,7 +493,17 @@ class AdverseWeatherTrainer:
         return out
 
     def train(self) -> Dict[str, Any]:
-        """Main training loop (reference trainer.py:513-604)."""
+        """Main training loop (reference trainer.py:513-604).
+
+        Optional observability (SURVEY.md §5 rebuild requirements): set
+        ``logging.profile_dir`` to capture a jax.profiler trace of the first
+        epoch; set ``debug.nan_checks`` to enable jax NaN debugging.
+        """
+        if (self.config.get('debug') or {}).get('nan_checks'):
+            from ..utils.profiling import enable_nan_checks
+            enable_nan_checks(True)
+        profile_dir = (self.config.get('logging') or {}).get('profile_dir')
+
         history = {'train': [], 'val': []}
         logger.info(f"Starting training for {self.epochs} epochs")
 
@@ -501,7 +511,11 @@ class AdverseWeatherTrainer:
             self.current_epoch = epoch
             start_time = time.time()
 
-            train_metrics = self.train_epoch()
+            if profile_dir and epoch == 0:
+                with trace(profile_dir):
+                    train_metrics = self.train_epoch()
+            else:
+                train_metrics = self.train_epoch()
             history['train'].append(train_metrics)
 
             val_metrics = self.validate_epoch()

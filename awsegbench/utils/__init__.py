@@ -1,4 +1,4 @@
-"""Utility functions and configuration management."""
+"""Utility functions, configuration management, observability."""
 
 from .config import (
     Config,
@@ -9,6 +9,12 @@ from .config import (
     setup_logging,
     validate_config,
 )
+from .profiling import (
+    PhaseTimers,
+    ThroughputMeter,
+    enable_nan_checks,
+    trace,
+)
 
 __all__ = [
     "Config",
@@ -18,4 +24,8 @@ __all__ = [
     "validate_config",
     "setup_logging",
     "get_device_config",
+    "PhaseTimers",
+    "ThroughputMeter",
+    "enable_nan_checks",
+    "trace",
 ]
