@@ -28,9 +28,9 @@ sys.path.insert(0, str(REPO))
 
 BASELINE_CACHE = REPO / '.bench_baseline.json'
 IMAGE_HW = (512, 1024)
-BATCH = 8
+BATCH = 32
 WARMUP_BATCHES = 2
-MEASURE_BATCHES = 30
+MEASURE_BATCHES = 20
 
 
 def measure_reference_cpu_baseline() -> float:
