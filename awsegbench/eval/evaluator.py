@@ -33,10 +33,12 @@ from ..core.mesh import batch_sharding, create_mesh, replicated_sharding
 from ..core.precision import get_policy
 from ..core.prng import RngStreams, per_sample_keys
 from ..data.pipeline import prepare_batch
-from ..metrics.calibration import ece_bin_update, ece_from_bins
+from ..metrics.calibration import (ece_bin_update_per_weather,
+                                   ece_from_bins)
 from ..metrics.disagreement import (auroc_exact, auroc_from_histogram,
                                     auroc_histogram_update, disagreement_map)
-from ..metrics.iou import confusion_matrix, iou_from_confusion
+from ..metrics.iou import (confusion_matrix_per_weather,
+                           iou_from_confusion)
 from ..metrics.robustness import RobustnessMetrics
 from ..weather.corruption import WEATHER_CONDITIONS
 
@@ -85,20 +87,19 @@ class Evaluator:
             preds = jnp.argmax(logits, axis=-1)
             lbl = prep['label']
 
-            # confusion + ECE: overall (slot 0) + per weather
-            cm_updates = [confusion_matrix(preds, lbl, c, sample_mask=sample_mask)]
-            ece_updates = [ece_bin_update(logits, lbl, self.num_bins,
-                                          sample_mask=sample_mask, class_axis=-1)]
-            for wid in range(n_weathers):
-                mask_w = sample_mask & (weather_ids == wid)
-                cm_updates.append(confusion_matrix(preds, lbl, c,
-                                                   sample_mask=mask_w))
-                ece_updates.append(ece_bin_update(logits, lbl, self.num_bins,
-                                                  sample_mask=mask_w,
-                                                  class_axis=-1))
+            # confusion + ECE via ONE joint (weather × class/bin) one-hot
+            # matmul each; slot 0 (overall) = sum over weathers
+            cm_w = confusion_matrix_per_weather(
+                preds, lbl, c, weather_ids, n_weathers,
+                sample_mask=sample_mask)
+            ece_w = ece_bin_update_per_weather(
+                logits, lbl, weather_ids, n_weathers, self.num_bins,
+                sample_mask=sample_mask, class_axis=-1)
             acc = dict(acc)
-            acc['cm'] = acc['cm'] + jnp.stack(cm_updates)
-            acc['ece'] = acc['ece'] + jnp.stack(ece_updates)
+            acc['cm'] = acc['cm'] + jnp.concatenate(
+                [cm_w.sum(axis=0, keepdims=True), cm_w])
+            acc['ece'] = acc['ece'] + jnp.concatenate(
+                [ece_w.sum(axis=0, keepdims=True), ece_w])
 
             # ensemble disagreement AUROC over the whole set
             out = {'disagreement': None, 'errors': None}

@@ -1,6 +1,7 @@
 """Evaluation metrics: on-device accumulators + reference-compatible facades."""
 
-from .calibration import ConfidenceCalibration, ece_bin_update, ece_from_bins
+from .calibration import (ConfidenceCalibration, ece_bin_update,
+                          ece_bin_update_per_weather, ece_from_bins)
 from .disagreement import (
     EnsembleDisagreementMetrics,
     auroc_exact,
@@ -13,6 +14,7 @@ from .disagreement import (
 from .iou import (
     IoUMetrics,
     confusion_matrix,
+    confusion_matrix_per_weather,
     iou_from_confusion,
     pixel_accuracy_from_confusion,
 )
@@ -21,7 +23,8 @@ from .robustness import RobustnessMetrics
 __all__ = [
     "IoUMetrics", "confusion_matrix", "iou_from_confusion",
     "pixel_accuracy_from_confusion", "ConfidenceCalibration",
-    "ece_bin_update", "ece_from_bins", "EnsembleDisagreementMetrics",
+    "ece_bin_update", "ece_bin_update_per_weather", "ece_from_bins",
+    "confusion_matrix_per_weather", "EnsembleDisagreementMetrics",
     "disagreement_map", "variance_map", "jensen_shannon_divergence",
     "auroc_exact", "auroc_histogram_update", "auroc_from_histogram",
     "RobustnessMetrics",

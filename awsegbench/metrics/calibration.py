@@ -88,6 +88,44 @@ def ece_from_bins(stats: jax.Array, total_valid: jax.Array | None = None) -> jax
     return jnp.sum(jnp.abs(conf_mean - acc_mean) * prop)
 
 
+def ece_bin_update_per_weather(logits: jax.Array, targets: jax.Array,
+                               weather_ids: jax.Array, n_weathers: int,
+                               num_bins: int = 15, ignore_index: int = 255,
+                               sample_mask: jax.Array | None = None,
+                               class_axis: int = -1) -> jax.Array:
+    """[n_weathers, num_bins, 3] ECE stats in one joint one-hot matmul
+    (row index ``weather·num_bins + bin``); overall = sum over weathers."""
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=class_axis)
+    confidences = jnp.max(probs, axis=class_axis)
+    predicted = jnp.argmax(probs, axis=class_axis)
+
+    conf = confidences.reshape(-1)
+    pred = predicted.reshape(-1)
+    tgt = targets.reshape(-1)
+    per_sample = int(np.prod(targets.shape[1:]))
+    wid = jnp.repeat(weather_ids.astype(jnp.int32), per_sample)
+    valid = tgt != ignore_index
+    if sample_mask is not None:
+        valid = valid & jnp.repeat(sample_mask.astype(bool), per_sample)
+
+    acc = (pred == tgt).astype(jnp.float32)
+    bin_idx = jnp.ceil(conf * num_bins).astype(jnp.int32) - 1
+    in_any_bin = (conf > 0) & valid
+    bin_idx = jnp.clip(bin_idx, 0, num_bins - 1)
+
+    joint = wid * num_bins + bin_idx
+    rows = jnp.arange(n_weathers * num_bins, dtype=jnp.int32)
+    w = in_any_bin.astype(jnp.float32)
+    onehot = ((joint[:, None] == rows[None, :]) & in_any_bin[:, None]
+              ).astype(jnp.float32)
+    cols = jnp.stack([jnp.ones_like(conf), conf, acc], axis=1) * w[:, None]
+    stats = jax.lax.dot_general(
+        onehot, cols,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return stats.reshape(n_weathers, num_bins, 3)
+
+
 class ConfidenceCalibration:
     """Reference-compatible facade (metrics.py:126-321)."""
 

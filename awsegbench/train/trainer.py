@@ -41,7 +41,8 @@ from ..core.precision import get_policy
 from ..core.prng import RngStreams, per_sample_keys
 from ..data.pipeline import prepare_batch
 from ..losses.fog_density import FogDensityAwareLoss, cross_entropy_loss
-from ..metrics.iou import confusion_matrix, iou_from_confusion
+from ..metrics.iou import (confusion_matrix_per_weather,
+                           iou_from_confusion)
 from ..metrics.robustness import RobustnessMetrics
 from ..utils.profiling import ThroughputMeter, trace
 from ..weather.corruption import WEATHER_CONDITIONS
@@ -355,17 +356,14 @@ class AdverseWeatherTrainer:
                                            sample_mask)
             preds = jnp.argmax(outputs['segmentation'], axis=-1)
 
-            # [1 + n_weathers, C, C] confusion accumulation on device
-            updates = [confusion_matrix(preds, prep['label'], self.num_classes,
-                                        sample_mask=sample_mask)]
-            for wid in range(n_weathers):
-                mask_w = sample_mask & (weather_ids == wid)
-                updates.append(confusion_matrix(preds, prep['label'],
-                                                self.num_classes,
-                                                sample_mask=mask_w))
+            # [1 + n_weathers, C, C] confusion via one joint one-hot matmul
+            cm_w = confusion_matrix_per_weather(
+                preds, prep['label'], self.num_classes, weather_ids,
+                n_weathers, sample_mask=sample_mask)
+            updates = jnp.concatenate([cm_w.sum(axis=0, keepdims=True), cm_w])
             bsz = jnp.sum(sample_mask.astype(jnp.float32))
             acc = {
-                'cm': cm_acc['cm'] + jnp.stack(updates),
+                'cm': cm_acc['cm'] + updates,
                 'sums': cm_acc['sums'] + jnp.stack([
                     loss_dict['total_loss'] * bsz,
                     loss_dict['segmentation_loss'] * bsz,
