@@ -129,24 +129,32 @@ def apply_fog(image: jax.Array, key: jax.Array,
 # ---------------------------------------------------------------------------
 
 def _use_pallas() -> bool:
-    """Pallas splat kernel on real TPU backends; XLA scan elsewhere."""
+    """Pallas splat kernel availability: real TPU backends only."""
     try:
         return jax.default_backend() in ('tpu', 'axon')
     except Exception:  # pragma: no cover
         return False
 
 
-def _segment_coverage(h: int, w: int, ax, ay, bx, by, radius, valid) -> jax.Array:
+def _segment_coverage(h: int, w: int, ax, ay, bx, by, radius, valid,
+                      use_pallas: bool = False) -> jax.Array:
     """Union coverage mask of N capsule segments over an H×W grid.
 
     For each pixel P and segment AB with half-width r:
-    covered iff dist(P, AB)² ≤ r². On TPU this dispatches to the Pallas
-    splat kernel (ops/splat.py: mask tile resident in VMEM, per-tile
-    bounding-box cull); elsewhere it runs the chunked-scan XLA
-    reformulation of the reference's sequential cv2.line loop
-    (preprocessing.py:142-163). Returns [H, W] bool.
+    covered iff dist(P, AB)² ≤ r² — the data-parallel reformulation of the
+    reference's sequential cv2.line loop (preprocessing.py:142-163).
+    Returns [H, W] bool.
+
+    Two equivalent backends (bit-identical, see tests/test_splat.py):
+    * chunked-`lax.scan` XLA path — DEFAULT: when the caller is batched
+      (vmap over images) each scan step processes a [B, chunk, H, W] brick,
+      which XLA parallelizes far better (measured 1.4 ms/img at B=32 on
+      v5e) than vmapping a Pallas grid (3 ms/img);
+    * the Pallas windowed kernel (ops/splat.py) — 2.5× faster than the
+      scan for SINGLE images (2.2 vs 5.5 ms) — used by the unbatched
+      ``apply_weather_effect`` API.
     """
-    if _use_pallas():
+    if use_pallas and _use_pallas():
         from ..ops.splat import pack_params, splat_coverage_pallas
         params = pack_params(ax, ay, bx, by, radius, valid)
         return splat_coverage_pallas(params, h, w) > 0.5
@@ -193,7 +201,8 @@ def _segment_coverage(h: int, w: int, ax, ay, bx, by, radius, valid) -> jax.Arra
 
 
 def apply_rain(image: jax.Array, key: jax.Array,
-               intensity: Optional[jax.Array] = None) -> jax.Array:
+               intensity: Optional[jax.Array] = None,
+               use_pallas: bool = False) -> jax.Array:
     """Rain on one [H, W, 3] float image in [0,1]. preprocessing.py:125-168."""
     h, w = image.shape[:2]
     keys = jax.random.split(key, 7)
@@ -222,7 +231,8 @@ def apply_rain(image: jax.Array, key: jax.Array,
 
     idx = jnp.arange(n)
     valid = idx < num_drops
-    cov = _segment_coverage(h, w, x, y, ex, ey, thickness / 2.0, valid)
+    cov = _segment_coverage(h, w, x, y, ex, ey, thickness / 2.0, valid,
+                            use_pallas=use_pallas)
 
     color = jnp.asarray(RAIN_PARAMS['color'], dtype=out.dtype)
     out = jnp.where(cov[..., None], color, out)
@@ -233,7 +243,8 @@ def apply_rain(image: jax.Array, key: jax.Array,
 
 
 def apply_snow(image: jax.Array, key: jax.Array,
-               intensity: Optional[jax.Array] = None) -> jax.Array:
+               intensity: Optional[jax.Array] = None,
+               use_pallas: bool = False) -> jax.Array:
     """Snow on one [H, W, 3] float image in [0,1]. preprocessing.py:170-202."""
     h, w = image.shape[:2]
     keys = jax.random.split(key, 6)
@@ -253,7 +264,8 @@ def apply_snow(image: jax.Array, key: jax.Array,
     idx = jnp.arange(n)
     valid = idx < num_flakes
     # circles = zero-length capsules of radius `size`
-    cov = _segment_coverage(h, w, x, y, x, y, size, valid)
+    cov = _segment_coverage(h, w, x, y, x, y, size, valid,
+                            use_pallas=use_pallas)
     out = jnp.where(cov[..., None], 1.0, out)
 
     # random blur kernel ∈ {3, 7}, σ=1.0 (preprocessing.py:196-200)
@@ -484,6 +496,9 @@ def apply_weather_effect(image: jax.Array, weather_type: str,
     fn = _BRANCHES[WEATHER_IDS[weather_type] - 1]
     img_f = image.astype(jnp.float32) / 255.0
     inten = None if intensity is None else jnp.float32(intensity)
+    if weather_type in ('rain', 'snow'):
+        # single-image path: the Pallas windowed kernel wins here
+        return quantize_uint8(fn(img_f, key, inten, use_pallas=_use_pallas()))
     return quantize_uint8(fn(img_f, key, inten))
 
 
