@@ -21,7 +21,6 @@ from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def disagreement_map(logits_list: Sequence[jax.Array],

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import flax.linen as nn
 import jax
-import jax.numpy as jnp
 
 # He-normal fan_out on 'relu' — matches torch kaiming_normal_(mode='fan_out')
 he_fan_out = nn.initializers.variance_scaling(2.0, 'fan_out', 'truncated_normal')

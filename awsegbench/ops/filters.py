@@ -13,7 +13,6 @@ on NHWC float arrays; boundary handling matches the originals:
 from __future__ import annotations
 
 import functools
-import math
 from typing import Literal
 
 import jax

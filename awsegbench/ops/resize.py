@@ -9,7 +9,6 @@ within half-pixel rounding.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def resize_bilinear(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:

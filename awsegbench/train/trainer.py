@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import logging
 import time
-from functools import partial
 from pathlib import Path
 from typing import Any, Dict, Optional
 
@@ -35,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax.training import train_state
 
-from ..core.mesh import (DATA_AXIS, batch_sharding, create_mesh,
+from ..core.mesh import (batch_sharding, create_mesh,
                          replicated_sharding)
 from ..core.precision import get_policy
 from ..core.prng import RngStreams, per_sample_keys
@@ -47,8 +46,7 @@ from ..metrics.robustness import RobustnessMetrics
 from ..utils.profiling import ThroughputMeter, trace
 from ..weather.corruption import WEATHER_CONDITIONS
 from .checkpoints import CheckpointManager
-from .optim import (create_optimizer, create_scheduler, get_learning_rate,
-                    set_learning_rate)
+from .optim import create_optimizer, create_scheduler, set_learning_rate
 
 logger = logging.getLogger(__name__)
 

@@ -13,7 +13,7 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from .corruption import WEATHER_IDS, apply_weather_effect
+from .corruption import apply_weather_effect
 
 DEFAULT_INTENSITIES = {'fog': 0.7, 'rain': 0.5, 'snow': 0.6, 'night': 0.8}
 

@@ -1,6 +1,5 @@
 """Config system tests — contract parity with reference utils/config.py."""
 
-import os
 
 import pytest
 import yaml

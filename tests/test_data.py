@@ -6,7 +6,6 @@ loader batching; plus the device-side prepare_batch pipeline.
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from awsegbench.core.prng import per_sample_keys
 from awsegbench.data import (BatchIterator, CityscapesKITTIDataset,

@@ -6,7 +6,6 @@ exactly (mIoU/ECE) or to float tolerance (MI/JS/AUROC). sklearn is used as
 the AUROC oracle exactly as the reference does (metrics.py:435).
 """
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest

@@ -1,7 +1,5 @@
 """Controlled-input metric sanity tests (known ground-truth values)."""
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from awsegbench.metrics.calibration import ConfidenceCalibration

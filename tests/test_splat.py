@@ -3,7 +3,6 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from awsegbench.ops.splat import pack_params, splat_coverage_pallas
 from awsegbench.parallel.collectives import (spatial_tiles, stitch_tiles,

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from awsegbench.weather.corruption import (WEATHER_CONDITIONS, WEATHER_IDS,
+from awsegbench.weather.corruption import (WEATHER_IDS,
                                            apply_weather_effect,
                                            corrupt_batch,
                                            corrupt_batch_static,
