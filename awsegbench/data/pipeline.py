@@ -103,6 +103,19 @@ class BatchIterator:
             yield item
 
 
+def prefetch_to_device(batch_iter, place_fn, lookahead: int = 1):
+    """Overlap host→device transfer with compute: yield device batches while
+    the NEXT batch's ``jax.device_put`` is already in flight (device_put is
+    async). ``place_fn(host_batch) -> device_batch``.
+    """
+    pending = []
+    for batch in batch_iter:
+        pending.append(place_fn(batch))
+        if len(pending) > lookahead:
+            yield pending.pop(0)
+    yield from pending
+
+
 def create_dataloader(dataset, batch_size: int = 8, shuffle: bool = True,
                       num_workers: int = 4, pin_memory: bool = True,
                       **kwargs) -> BatchIterator:

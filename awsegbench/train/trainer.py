@@ -397,6 +397,24 @@ class AdverseWeatherTrainer:
                      for k, v in batch.items()}
         return batch, mask
 
+    def _device_batches(self, loader):
+        """Pad + asynchronously place batches on the mesh one step ahead so
+        host→device transfer overlaps compute (pipeline.prefetch_to_device).
+        Yields (device_args_tuple, original_batch_size)."""
+        from ..data.pipeline import prefetch_to_device
+        data = batch_sharding(self.mesh)
+
+        def place(batch):
+            bsz = batch['image'].shape[0]
+            padded, mask = self._pad_batch(batch)
+            args = tuple(jax.device_put(padded[k], data)
+                         for k in ('image', 'label', 'weather_id',
+                                   'sample_id')) + (
+                jax.device_put(mask, data),)
+            return args, bsz
+
+        yield from prefetch_to_device(loader, place, lookahead=1)
+
     # ------------------------------------------------------------ public API
 
     def train_epoch(self) -> Dict[str, float]:
@@ -416,14 +434,10 @@ class AdverseWeatherTrainer:
         tb_interval = (self.config.get('logging') or {}).get(
             'tb_interval_steps', 10)
 
-        for batch in self.train_loader:
-            bsz = batch['image'].shape[0]
-            batch, mask = self._pad_batch(batch)
+        for args, bsz in self._device_batches(self.train_loader):
             step_key = self.rngs.fold('weather', self.global_step)
             self.state, metrics, metric_sums = self._train_step(
-                self.state, batch['image'], batch['label'],
-                batch['weather_id'], batch['sample_id'], mask, step_key,
-                metric_sums)
+                self.state, *args, step_key, metric_sums)
 
             if self.writer and self.global_step % tb_interval == 0:
                 m = jax.device_get(metrics)
@@ -462,13 +476,9 @@ class AdverseWeatherTrainer:
         acc = jax.device_put(acc, replicated_sharding(self.mesh))
 
         step_offset = 1_000_000_000 + self.current_epoch * 1_000_000
-        for i, batch in enumerate(self.val_loader):
-            batch, mask = self._pad_batch(batch)
+        for i, (args, _bsz) in enumerate(self._device_batches(self.val_loader)):
             step_key = self.rngs.fold('weather', step_offset + i)
-            acc = self._eval_step(
-                self.state, batch['image'], batch['label'],
-                batch['weather_id'], batch['sample_id'], mask, step_key,
-                acc)
+            acc = self._eval_step(self.state, *args, step_key, acc)
 
         acc = jax.device_get(acc)  # single host fetch = sync barrier
         sums = np.asarray(acc['sums'])
