@@ -87,3 +87,36 @@ class TestShardedCompute:
                     in_shardings=(rep, data), out_shardings=data)
         out = f(variables, x)
         assert np.allclose(np.asarray(ref), np.asarray(out), atol=1e-5)
+
+
+class TestSpatialShardingAcrossMesh:
+    def test_tiled_forward_shards_tiles_over_data_axis(self):
+        """One full-res image's tiles spread across the 8-device mesh and
+        stitch back to the monolithic result for a local op."""
+        import jax.numpy as jnp
+        from awsegbench.parallel.collectives import tiled_forward
+
+        mesh = create_mesh()
+        rng = np.random.default_rng(2)
+        img = jnp.asarray(rng.normal(size=(64, 256, 3)).astype(np.float32))
+        kernel = jnp.asarray(rng.normal(size=(3, 3, 3, 2)).astype(np.float32))
+
+        def conv(x):
+            return jax.lax.conv_general_dilated(
+                x, kernel, (1, 1), 'SAME',
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+        mono = conv(img[None])[0]
+
+        data = batch_sharding(mesh)
+
+        def apply_fn(_v, tiles):
+            tiles = jax.lax.with_sharding_constraint(tiles, data)
+            return conv(tiles)
+
+        f = jax.jit(lambda im: tiled_forward(apply_fn, None, im,
+                                             tile_h=32, tile_w=32, halo=4,
+                                             out_channels=2))
+        out = f(img)
+        assert np.allclose(np.asarray(mono)[4:-4, 4:-4],
+                           np.asarray(out)[4:-4, 4:-4], atol=1e-5)
