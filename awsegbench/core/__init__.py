@@ -5,6 +5,7 @@ from .mesh import (
     MODEL_AXIS,
     batch_sharding,
     create_mesh,
+    init_distributed,
     pad_batch_to_multiple,
     replicate,
     replicated_sharding,
@@ -17,6 +18,7 @@ from .prng import RngStreams, per_sample_keys
 __all__ = [
     "DATA_AXIS", "MODEL_AXIS", "create_mesh", "batch_sharding",
     "replicated_sharding", "shard_batch", "replicate", "pad_batch_to_multiple",
+    "init_distributed",
     "Policy", "get_policy", "RngStreams", "per_sample_keys",
     "setup_compilation_cache",
 ]

@@ -22,6 +22,39 @@ logger = logging.getLogger(__name__)
 DATA_AXIS = 'data'
 MODEL_AXIS = 'model'
 
+_DISTRIBUTED_INITIALIZED = False
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> bool:
+    """Multi-host initialization (`jax.distributed.initialize`).
+
+    In-slice chips communicate over ICI under a single process; across
+    hosts JAX coordinates over DCN. Call once before device queries when
+    running multi-host (args usually come from the TPU environment and can
+    be omitted). Returns True when distributed mode is active. Safe no-op
+    on single-host setups.
+    """
+    global _DISTRIBUTED_INITIALIZED
+    if _DISTRIBUTED_INITIALIZED:
+        return True
+    env_ok = coordinator_address or 'COORDINATOR_ADDRESS' in \
+        __import__('os').environ
+    if not env_ok and num_processes in (None, 1):
+        return False
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+        _DISTRIBUTED_INITIALIZED = True
+        logger.info(f"jax.distributed initialized: process "
+                    f"{jax.process_index()}/{jax.process_count()}")
+        return True
+    except Exception as e:  # pragma: no cover
+        logger.warning(f"jax.distributed.initialize failed: {e}")
+        return False
+
 
 def create_mesh(
     devices: Optional[Sequence[jax.Device]] = None,

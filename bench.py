@@ -28,9 +28,9 @@ sys.path.insert(0, str(REPO))
 
 BASELINE_CACHE = REPO / '.bench_baseline.json'
 IMAGE_HW = (512, 1024)
-BATCH = 32
+BATCH = 64
 WARMUP_BATCHES = 2
-MEASURE_BATCHES = 20
+MEASURE_BATCHES = 12
 
 
 def measure_reference_cpu_baseline() -> float:
@@ -127,7 +127,7 @@ def measure_tpu_eval() -> float:
     # backends where block_until_ready can return at enqueue time.
     rng = np.random.default_rng(0)
     key = jax.random.PRNGKey(0)
-    n = 4  # distinct batches, cycled — bounds tunnel transfer volume
+    n = 2  # distinct batches, cycled — bounds tunnel transfer volume
     batches = []
     for i in range(n):
         batches.append({
