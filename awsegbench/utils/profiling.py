@@ -15,13 +15,16 @@ import time
 from collections import defaultdict
 from typing import Dict, Iterator, Optional
 
-import jax
-
 logger = logging.getLogger(__name__)
+
+# jax is imported lazily inside each function so this module (re-exported by
+# awsegbench.utils) stays importable without an accelerator runtime — the
+# package facade's graceful-degradation contract (reference __init__.py:11-46).
 
 
 def enable_nan_checks(enabled: bool = True) -> None:
     """Turn on jax NaN debugging (config flag ``debug.nan_checks``)."""
+    import jax
     jax.config.update('jax_debug_nans', enabled)
 
 
@@ -31,6 +34,7 @@ def trace(profile_dir: Optional[str]) -> Iterator[None]:
     if not profile_dir:
         yield
         return
+    import jax
     jax.profiler.start_trace(profile_dir)
     try:
         yield
@@ -88,6 +92,7 @@ class ThroughputMeter:
     def stop(self, sync_on=None) -> None:
         """Stop timing; pass a device array to block on for honest timing."""
         if sync_on is not None:
+            import jax
             jax.block_until_ready(sync_on)
         if self._t0 is not None:
             self._elapsed += time.perf_counter() - self._t0
