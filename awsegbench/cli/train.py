@@ -121,13 +121,13 @@ def main(argv=None) -> None:
         logger.error(f"Error creating model: {e}")
         sys.exit(1)
 
+    # Missing dataset files are handled inside the dataset itself (synthetic
+    # fallback, data/dataset.py); any exception here is a real error.
     try:
         train_loader, val_loader = create_datasets_and_loaders(config)
     except Exception as e:
         logger.error(f"Error creating datasets: {e}")
-        logger.info("This error is expected if real dataset files are not "
-                    "available. The system will use synthetic data.")
-        train_loader, val_loader = create_datasets_and_loaders(config)
+        sys.exit(1)
 
     trainer = AdverseWeatherTrainer(
         model=model,

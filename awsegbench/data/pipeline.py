@@ -90,9 +90,12 @@ class BatchIterator:
         stop = object()
 
         def producer():
-            for idx in batches:
-                q.put(self._collate(idx))
-            q.put(stop)
+            try:
+                for idx in batches:
+                    q.put(self._collate(idx))
+                q.put(stop)
+            except BaseException as e:  # propagate instead of deadlocking
+                q.put(e)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -100,6 +103,8 @@ class BatchIterator:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
 

@@ -56,6 +56,26 @@ def init_model(model: nn.Module, rng: jax.Array,
                       dummy, train=False)
 
 
+def init_model_variables(model: nn.Module, config: Any, rng: jax.Array,
+                         input_shape: Tuple[int, int, int, int],
+                         dtype=jnp.float32) -> Dict[str, Any]:
+    """``init_model`` + pretrained-encoder grafting.
+
+    When ``model.pretrained`` is true (the reference's default,
+    model.py:94,:239), cached HF-SegFormer / ImageNet-ResNet50 weights are
+    resolved from ``$AWSEG_WEIGHTS_DIR`` and grafted into the fresh
+    variables; missing caches degrade gracefully to random init
+    (model.py:111-146, :258-274).
+    """
+    get = config.get if hasattr(config, 'get') else (lambda *a: a[-1])
+    model_cfg = dict(get('model', {}) or {})
+    variables = init_model(model, rng, input_shape, dtype)
+    if model_cfg.get('pretrained', True):
+        from .pretrained import apply_pretrained
+        variables = apply_pretrained(variables, model_cfg)
+    return variables
+
+
 def count_parameters(params: Any) -> int:
     """Total trainable parameter count (scripts/train.py:246-257)."""
     return int(sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(params)))

@@ -234,15 +234,25 @@ class AdverseWeatherTrainer:
         ds = getattr(self.train_loader, 'dataset', None)
         if ds is not None and hasattr(ds, 'image_size'):
             return tuple(ds.image_size)
+        if ds is not None:
+            try:  # peek one sample without consuming the loader
+                return ds[0]['image'].shape[:2]
+            except Exception:
+                pass
+        # Last resort: consume one batch, then rewind the iterator's epoch
+        # counter so epoch-0's shuffle order is not silently skipped.
+        epoch_before = getattr(self.train_loader, '_epoch', None)
         batch = next(iter(self.train_loader))
+        if epoch_before is not None:
+            self.train_loader._epoch = epoch_before
         return batch['image'].shape[1:3]
 
     def _init_state(self) -> TrainState:
+        from ..models.factory import init_model_variables
         h, w = self._peek_batch_shape()
-        dummy = jnp.zeros((1, h, w, 3), jnp.float32)
-        variables = self.model.init(
-            {'params': self.rngs.key('params'),
-             'dropout': self.rngs.key('dropout')}, dummy, train=False)
+        variables = init_model_variables(self.model, self.config,
+                                         self.rngs.key('params'),
+                                         (1, h, w, 3))
         state = TrainState.create(
             apply_fn=self.model.apply,
             params=variables['params'],
@@ -381,7 +391,15 @@ class AdverseWeatherTrainer:
     # ------------------------------------------------------------- host utils
 
     def _pad_batch(self, batch):
-        """Pad the batch to a multiple of the mesh size; return mask."""
+        """Pad the batch to a multiple of the mesh size; return mask.
+
+        Padded rows are edge-duplicated real samples: the loss masks them
+        out (losses/fog_density.py sample_mask) but BatchNorm batch_stats
+        updates still see them — a duplicate-sample bias of at most
+        (mesh_size−1)/batch, negligible at production batch sizes. A
+        mask-aware BN would be needed if mesh size ever approaches the
+        per-step batch.
+        """
         b = batch['image'].shape[0]
         mult = self.n_devices
         pad = (-b) % mult

@@ -162,6 +162,7 @@ def create_default_config() -> Config:
             'type': 'ensemble',
             'num_classes': 19,
             'include_depth': True,
+            'pretrained': True,
             'ensemble_strategy': 'weighted_average',
             'temperature_scaling': True,
         },

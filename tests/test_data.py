@@ -6,6 +6,7 @@ loader batching; plus the device-side prepare_batch pipeline.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from awsegbench.core.prng import per_sample_keys
 from awsegbench.data import (BatchIterator, CityscapesKITTIDataset,
@@ -110,6 +111,21 @@ class TestBatchIterator:
         assert batch['label'].shape == (4, 48, 64)
         assert batch['weather_id'].shape == (4,)
         assert len(batch['weather_condition']) == 4
+
+    def test_producer_error_propagates_not_deadlocks(self):
+        """A dataset error inside the prefetch thread must raise in the
+        consumer, not hang the iterator forever."""
+
+        class _BrokenDS:
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                raise RuntimeError('boom')
+
+        it = BatchIterator(_BrokenDS(), batch_size=2, shuffle=False)
+        with pytest.raises(RuntimeError, match='boom'):
+            next(iter(it))
 
     def test_shuffle_differs_across_epochs(self, synthetic_dataset_dir):
         ds = CityscapesKITTIDataset(synthetic_dataset_dir, split='train',

@@ -145,3 +145,49 @@ class TestAgainstReferenceMetrics:
             torch.from_numpy(logits), torch.from_numpy(targets))
         ours = ConfidenceCalibration().optimize_temperature(logits, targets)
         assert 0.1 <= ref <= 10.0 and 0.1 <= ours <= 10.0
+
+    def test_optimize_temperature_oracle_2d(self, ref_metrics):
+        """Direct oracle where the reference bug is benign: on 2-D [N, C]
+        logits ``view(-1, C)`` is the identity, so the reference grid search
+        (metrics.py:283-321) is correct there and must match ours exactly."""
+        rng = np.random.default_rng(11)
+        n, c = 4096, 7
+        targets = rng.integers(0, c, (n,))
+        onehot = np.eye(c, dtype=np.float32)[targets]
+        # overconfident logits → interior optimal temperature (> 1)
+        logits = (6.0 * onehot
+                  + rng.normal(size=(n, c)).astype(np.float32) * 1.5)
+        targets[:64] = 255  # exercise the ignore-mask path too
+        ref = ref_metrics.ConfidenceCalibration().optimize_temperature(
+            torch.from_numpy(logits), torch.from_numpy(targets))
+        ours = ConfidenceCalibration().optimize_temperature(logits, targets)
+        assert 0.1 < ours < 10.0, "optimum should be interior"
+        assert abs(ref - ours) < 1e-6, (ref, ours)
+
+    def test_optimize_temperature_nll_argmin_4d(self):
+        """First-principles oracle for the documented deviation on NCHW
+        input: our result must be the argmin of the true per-distribution
+        NLL over the same 100-point grid, computed independently in numpy."""
+        rng = np.random.default_rng(12)
+        b, c, h, w = 2, 7, 12, 16
+        targets = rng.integers(0, c, (b, h, w))
+        onehot = np.moveaxis(np.eye(c, dtype=np.float32)[targets], -1, 1)
+        logits = (5.0 * onehot
+                  + rng.normal(size=(b, c, h, w)).astype(np.float32))
+        targets[0, :2, :2] = 255
+
+        lf = np.moveaxis(logits, 1, -1).reshape(-1, c).astype(np.float64)
+        tf = targets.reshape(-1)
+        valid = tf != 255
+        lf, tf = lf[valid], tf[valid]
+        temps = np.linspace(0.1, 10.0, 100)
+        nlls = []
+        for t in temps:
+            z = lf / t
+            logp = z - np.log(np.exp(z - z.max(-1, keepdims=True)).sum(-1,
+                              keepdims=True)) - z.max(-1, keepdims=True)
+            nlls.append(-logp[np.arange(len(tf)), tf].mean())
+        expected = temps[int(np.argmin(nlls))]
+
+        ours = ConfidenceCalibration().optimize_temperature(logits, targets)
+        assert abs(ours - expected) < 1e-6, (ours, expected)

@@ -192,6 +192,33 @@ class TestLoss:
 
 @pytest.mark.slow
 class TestTrainerIntegration:
+    def test_init_does_not_consume_epoch0_shuffle(self, test_config, tmp_path,
+                                                  synthetic_dataset_dir):
+        """Trainer construction must not advance the loader's shuffle epoch,
+        even when the dataset exposes no ``image_size`` attribute — the
+        first trained epoch must see the epoch-0 shuffle order."""
+        tl, vl = _loaders(synthetic_dataset_dir)
+
+        class _NoSizeProxy:
+            """Map-style dataset that hides ``image_size``."""
+
+            def __init__(self, ds):
+                self._ds = ds
+
+            def __len__(self):
+                return len(self._ds)
+
+            def __getitem__(self, i):
+                return self._ds[i]
+
+        tl.dataset = _NoSizeProxy(tl.dataset)
+        cfg = test_config.to_dict()
+        cfg['mlflow']['enabled'] = False
+        AdverseWeatherTrainer(_tiny_model(), tl, vl, cfg,
+                              checkpoint_dir=str(tmp_path / 'c'),
+                              log_dir=str(tmp_path / 'l'))
+        assert tl._epoch == 0
+
     @pytest.mark.parametrize('opt_type', ['adamw', 'sgd', 'adam'])
     def test_optimizer_types_construct(self, test_config, tmp_path,
                                        synthetic_dataset_dir, opt_type):
