@@ -55,7 +55,8 @@ class Evaluator:
 
     def __init__(self, model, variables: Dict[str, Any], config,
                  mesh=None, num_bins: int = 15,
-                 collect_exact_auroc: bool = False) -> None:
+                 collect_exact_auroc: bool = False,
+                 auroc_mode: Optional[str] = None) -> None:
         self.model = model
         self.variables = variables
         cfg = config.to_dict() if hasattr(config, 'to_dict') else dict(config or {})
@@ -64,6 +65,20 @@ class Evaluator:
         self.num_classes = model_cfg.get('num_classes', 19)
         self.num_bins = num_bins
         self.collect_exact_auroc = collect_exact_auroc
+        # AUROC modes (reference semantics = exact sklearn rank AUROC,
+        # metrics.py:393-438):
+        #  'histogram'  — streaming 2^20-bin log-histogram (≤~1e-4 of exact)
+        #  'exact'      — scores stay ON DEVICE in a mesh-sharded buffer; one
+        #                 distributed sort at sweep end gives the exact value
+        #  'exact_host' — legacy: gather scores to host, exact sort there
+        if auroc_mode is None:
+            auroc_mode = (cfg.get('evaluation') or {}).get(
+                'auroc_mode', 'exact_host' if collect_exact_auroc
+                else 'histogram')
+        if auroc_mode not in ('histogram', 'exact', 'exact_host'):
+            raise ValueError(f'Unknown auroc_mode: {auroc_mode!r}')
+        self.auroc_mode = auroc_mode
+        self.collect_exact_auroc = (auroc_mode == 'exact_host')
 
         tpu_cfg = cfg.get('tpu') or {}
         self.mesh = mesh if mesh is not None else create_mesh(
@@ -116,6 +131,18 @@ class Evaluator:
                     dis.reshape(-1), errors.reshape(-1), AUROC_BINS,
                     *AUROC_RANGE, weights=valid.reshape(-1),
                     log_scale=True)
+                if self.auroc_mode == 'exact' and 'scores' in acc:
+                    # append into the mesh-sharded device buffers; the
+                    # chunk offset is a multiple of the (device-divisible)
+                    # chunk size, so writes stay shard-local
+                    flat_s = dis.reshape(-1)
+                    flat_e = jnp.where(valid, errors, -1.0).reshape(-1)
+                    acc['scores'] = jax.lax.dynamic_update_slice(
+                        acc['scores'], flat_s, (acc['offset'],))
+                    acc['errors'] = jax.lax.dynamic_update_slice(
+                        acc['errors'], flat_e.astype(jnp.int8),
+                        (acc['offset'],))
+                    acc['offset'] = acc['offset'] + flat_s.shape[0]
                 if self.collect_exact_auroc:
                     out['disagreement'] = dis
                     out['errors'] = jnp.where(valid, errors, -1.0)
@@ -123,11 +150,18 @@ class Evaluator:
 
         rep = replicated_sharding(self.mesh)
         data = batch_sharding(self.mesh)
+        if self.auroc_mode == 'exact':
+            acc_sharding = {'cm': rep, 'ece': rep, 'auroc_hist': rep,
+                            'scores': data, 'errors': data, 'offset': rep}
+        else:
+            acc_sharding = rep
         return jax.jit(step,
-                       in_shardings=(rep, data, data, data, data, data, rep, rep),
-                       out_shardings=(rep, None))
+                       in_shardings=(rep, data, data, data, data, data, rep,
+                                     acc_sharding),
+                       out_shardings=(acc_sharding, None),
+                       donate_argnums=(7,))
 
-    def _init_acc(self):
+    def _init_acc(self, capacity: int = 0):
         n = 1 + len(WEATHER_CONDITIONS)
         c = self.num_classes
         rep = replicated_sharding(self.mesh)
@@ -136,7 +170,20 @@ class Evaluator:
             'ece': jnp.zeros((n, self.num_bins, 3), jnp.float32),
             'auroc_hist': jnp.zeros((AUROC_BINS, 2), jnp.float32),
         }
-        return jax.device_put(acc, rep)
+        acc = jax.device_put(acc, rep)
+        if self.auroc_mode == 'exact':
+            if capacity <= 0:
+                raise ValueError('exact AUROC mode needs a sized loader '
+                                 '(len()) to bound the score buffer')
+            # round capacity up so the buffer divides over the mesh
+            capacity += (-capacity) % self.n_devices
+            data = batch_sharding(self.mesh)
+            acc['scores'] = jax.device_put(
+                jnp.zeros((capacity,), jnp.float32), data)
+            acc['errors'] = jax.device_put(
+                jnp.full((capacity,), -1, jnp.int8), data)
+            acc['offset'] = jax.device_put(jnp.zeros((), jnp.int32), rep)
+        return acc
 
     def _pad_batch(self, batch):
         b = batch['image'].shape[0]
@@ -156,7 +203,7 @@ class Evaluator:
     def run(self, test_loader, seed: int = 42) -> Dict[str, Any]:
         """Full evaluation sweep. Returns the reference's results schema."""
         rngs = RngStreams(seed)
-        acc = self._init_acc()
+        acc = None
         exact_scores, exact_errors = [], []
         n_images = 0
         t0 = time.time()
@@ -164,6 +211,18 @@ class Evaluator:
         for i, batch in enumerate(test_loader):
             n_images += batch['image'].shape[0]
             batch, mask = self._pad_batch(batch)
+            if acc is None:
+                capacity = 0
+                if self.auroc_mode == 'exact':
+                    try:
+                        n_batches = len(test_loader)
+                    except TypeError:
+                        raise ValueError(
+                            "auroc_mode='exact' needs a sized loader; use "
+                            "'exact_host' or 'histogram' for unsized streams")
+                    b, h, w = batch['image'].shape[:3]
+                    capacity = n_batches * b * h * w
+                acc = self._init_acc(capacity)
             step_key = rngs.fold('weather', i)
             acc, out = self._step(self.variables, batch['image'],
                                   batch['label'], batch['weather_id'],
@@ -171,6 +230,23 @@ class Evaluator:
             if self.collect_exact_auroc and out['disagreement'] is not None:
                 exact_scores.append(np.asarray(out['disagreement']).reshape(-1))
                 exact_errors.append(np.asarray(out['errors']).reshape(-1))
+
+        if acc is None:
+            acc = self._init_acc(self.n_devices if
+                                 self.auroc_mode == 'exact' else 0)
+
+        # exact mode: one distributed sort over the mesh-sharded buffers;
+        # only the scalar comes to host
+        exact_device_auroc = None
+        if self.auroc_mode == 'exact':
+            scores_buf = acc.pop('scores')
+            errors_buf = acc.pop('errors')
+            acc.pop('offset')
+            from ..metrics.disagreement import auroc_exact_sharded
+            valid = (errors_buf >= 0).astype(jnp.float32)
+            exact_device_auroc = float(auroc_exact_sharded(
+                scores_buf, errors_buf.astype(jnp.float32) * valid,
+                valid, self.mesh))
 
         acc = jax.device_get(acc)
         elapsed = time.time() - t0
@@ -196,7 +272,10 @@ class Evaluator:
         if acc['auroc_hist'].sum() > 0:
             hist_auroc = float(
                 auroc_from_histogram(jnp.asarray(acc['auroc_hist'])))
-            if self.collect_exact_auroc and exact_scores:
+            if exact_device_auroc is not None:
+                results['ensemble_disagreement_auroc'] = exact_device_auroc
+                results['_auroc_histogram_estimate'] = hist_auroc
+            elif self.collect_exact_auroc and exact_scores:
                 s = np.concatenate(exact_scores)
                 e = np.concatenate(exact_errors)
                 keep = e >= 0

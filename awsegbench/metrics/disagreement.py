@@ -111,6 +111,30 @@ def auroc_exact(scores: jax.Array, labels: jax.Array,
     return jnp.where((n_pos > 0) & (n_neg > 0), auroc, 0.5)
 
 
+def auroc_exact_sharded(scores: jax.Array, labels: jax.Array,
+                        weights: jax.Array | None, mesh) -> jax.Array:
+    """Exact distributed AUROC over a mesh-sharded score vector.
+
+    The inputs' leading axis is sharded over the mesh's ``data`` axis; the
+    global ``argsort`` inside :func:`auroc_exact` lowers to XLA's
+    distributed sort (all-to-all over ICI), so Cityscapes-val-scale score
+    vectors (~10⁸–10⁹ pixels) never gather onto one chip. Replaces the
+    reference's host-side ``sklearn.roc_auc_score`` over flattened pixels
+    (metrics.py:393-438) with identical semantics (midrank ties).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..core.mesh import DATA_AXIS
+    data = NamedSharding(mesh, P(DATA_AXIS))
+    rep = NamedSharding(mesh, P())
+    if weights is None:
+        weights = jnp.ones_like(labels, dtype=jnp.float32)
+    fn = jax.jit(auroc_exact, in_shardings=(data, data, data),
+                 out_shardings=rep)
+    return fn(jax.device_put(scores, data), jax.device_put(labels, data),
+              jax.device_put(weights, data))
+
+
 def auroc_histogram_update(scores: jax.Array, labels: jax.Array,
                            num_bins: int, lo: float, hi: float,
                            weights: jax.Array | None = None,

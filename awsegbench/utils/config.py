@@ -211,6 +211,7 @@ def create_default_config() -> Config:
         },
         'evaluation': {
             'num_bins': 15,
+            'auroc_mode': 'histogram',
             'weather_conditions': ['clean', 'fog', 'rain', 'snow', 'night'],
         },
         'logging': {

@@ -6,16 +6,24 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 The workload is the reference's headline path (BASELINE.md): the full
 ensemble (SegFormer-B0 + DeepLabV3+/ResNet-50) evaluated over a mixed
 4-weather corrupted stream at the default 512×1024 resolution, with
-weather corruption + depth + normalization + both forwards + on-device
-metric accumulation fused into one jitted program per batch.
+weather corruption + depth estimation + normalization + both forwards +
+on-device metric accumulation fused into one jitted program per batch —
+i.e. everything the reference does per eval batch
+(loader.py:256-293 + scripts/evaluate.py:134-205).
 
-``vs_baseline`` divides by a CONSERVATIVE reference throughput proxy: the
-reference's own CPU data pipeline (its preprocessing.py corruption + depth
-estimation, executed verbatim from /root/reference) measured on this
-machine — an UPPER bound on reference throughput since it excludes the
-reference's torch model forward entirely (torchvision/smp are not installed
-here, so the reference model path cannot run). True speedup ≥ reported.
-The baseline measurement is cached in .bench_baseline.json.
+HEADLINE = ``head_mode='faithful'`` — the reference-parity architecture
+(features bilinearly upsampled to full input resolution BEFORE the conv
+heads, model.py:209-221) and the ``configs/default.yaml`` default. The
+faster ``head_mode='fused'`` variant (heads at stage-4 resolution, then
+logit upsample — a different function, disclosed in ARCHITECTURE.md) is
+also measured and reported in the same JSON line as ``fused_value``.
+
+``vs_baseline`` divides by the reference's measured END-TO-END eval
+throughput on this host (bench_baseline.py: the reference's own
+preprocessing.py pipeline verbatim + an architecture-equivalent torch
+ensemble forward, assuming perfect DataLoader/compute overlap — the most
+favorable assumption for the reference). The older pipeline-only proxy is
+kept as ``vs_pipeline_only``. Both cached in .bench_baseline.json.
 """
 
 import json
@@ -28,60 +36,28 @@ sys.path.insert(0, str(REPO))
 
 BASELINE_CACHE = REPO / '.bench_baseline.json'
 IMAGE_HW = (512, 1024)
-BATCH = 64
+# faithful materializes [B, H, W, 256] head activations (the reference's
+# own memory-heavy design) → smaller batch; fused runs heads at os32
+BATCH = {'faithful': 8, 'fused': 64}
 WARMUP_BATCHES = 2
-MEASURE_BATCHES = 12
+MEASURE_BATCHES = {'faithful': 16, 'fused': 12}
 
 
-def measure_reference_cpu_baseline() -> float:
-    """Reference data-pipeline throughput (images/sec) on this CPU.
-
-    Runs the reference's own preprocessing module standalone: per-sample
-    weather corruption (cv2/numpy loops) + geometric depth estimation —
-    the per-__getitem__ hot path at loader.py:256-293.
-    """
+def reference_baseline() -> dict:
     if BASELINE_CACHE.exists():
         try:
-            return json.loads(BASELINE_CACHE.read_text())['ref_images_per_sec']
+            d = json.loads(BASELINE_CACHE.read_text())
+            if 'ref_e2e_images_per_sec' in d:
+                return d
         except Exception:
             pass
-
-    import importlib.util
-    import numpy as np
-    spec = importlib.util.spec_from_file_location(
-        'ref_preproc',
-        '/root/reference/src/adverse_weather_semantic_segmentation_'
-        'robustness_benchmark/data/preprocessing.py')
-    rp = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(rp)
-
-    wt = rp.WeatherDegradationTransforms(seed=0)
-    dp = rp.DepthEstimationPreprocessor()
-    rng = np.random.default_rng(0)
-    weathers = ['fog', 'rain', 'snow', 'night']
-
-    n = 8
-    imgs = [rng.integers(0, 255, (*IMAGE_HW, 3), dtype=np.uint8)
-            for _ in range(n)]
-    # warmup one
-    _ = wt.apply_weather_effect(imgs[0], 'fog')
-    t0 = time.perf_counter()
-    for i in range(n):
-        corrupted = wt.apply_weather_effect(imgs[i], weathers[i % 4])
-        _ = dp.estimate_depth(corrupted)
-    elapsed = time.perf_counter() - t0
-    ref_ips = n / elapsed
-    BASELINE_CACHE.write_text(json.dumps({
-        'ref_images_per_sec': ref_ips,
-        'note': 'reference preprocessing.py corruption+depth only (model '
-                'forward excluded -> conservative upper bound on reference '
-                'throughput)',
-        'image_hw': IMAGE_HW,
-    }, indent=2))
-    return ref_ips
+    from bench_baseline import measure_reference_e2e
+    d = measure_reference_e2e()
+    BASELINE_CACHE.write_text(json.dumps(d, indent=2))
+    return d
 
 
-def measure_tpu_eval() -> float:
+def measure_tpu_eval(head_mode: str) -> float:
     import jax
     # persistent compile cache: tunnel-backend compiles take minutes; cache
     # them across processes so repeat bench runs start hot
@@ -92,13 +68,17 @@ def measure_tpu_eval() -> float:
 
     from awsegbench.core.prng import per_sample_keys
     from awsegbench.data.pipeline import prepare_batch
-    from awsegbench.models import EnsembleModel, init_model
     from awsegbench.metrics.iou import confusion_matrix
+    from awsegbench.models import EnsembleModel, init_model
+
+    batch = BATCH[head_mode]
+    n_measure = MEASURE_BATCHES[head_mode]
 
     model = EnsembleModel(num_classes=19, include_depth=True,
-                          head_mode='fused')
+                          head_mode=head_mode)
     h, w = IMAGE_HW
     variables = init_model(model, jax.random.PRNGKey(0), (1, h, w, 3))
+
     # bf16 compute
     def cast(t):
         return jax.tree_util.tree_map(
@@ -109,8 +89,9 @@ def measure_tpu_eval() -> float:
                       'batch_stats': cast(variables.get('batch_stats', {}))}
 
     def eval_step(variables, images_u8, labels, weather_ids, keys, cm):
+        # full reference eval workload: corrupt + depth-estimate + normalize
         prep = prepare_batch(images_u8, labels, weather_ids, keys,
-                             train=False, include_depth=False)
+                             train=False, include_depth=True)
         x = prep['image'].astype(jnp.bfloat16)
         out = model.apply(variables, x, train=False)
         preds = jnp.argmax(out['segmentation'].astype(jnp.float32), axis=-1)
@@ -121,7 +102,7 @@ def measure_tpu_eval() -> float:
     # Timing methodology: inputs are placed on device up front (a production
     # input pipeline overlaps host transfers with compute; on this dev setup
     # the host link is a network tunnel whose transfer cost is an artifact),
-    # MEASURE_BATCHES steps are chained through the donated confusion-matrix
+    # the measured steps are chained through the donated confusion-matrix
     # carry, and the FINAL ACCUMULATOR VALUE is fetched to host — fetching a
     # value is the only reliable completion barrier on remote-tunnel
     # backends where block_until_ready can return at enqueue time.
@@ -132,14 +113,14 @@ def measure_tpu_eval() -> float:
     for i in range(n):
         batches.append({
             'image': jax.device_put(
-                rng.integers(0, 255, (BATCH, h, w, 3), dtype=np.uint8)),
+                rng.integers(0, 255, (batch, h, w, 3), dtype=np.uint8)),
             'label': jax.device_put(
-                rng.integers(0, 19, (BATCH, h, w)).astype(np.int32)),
+                rng.integers(0, 19, (batch, h, w)).astype(np.int32)),
             'weather_id': jax.device_put(
-                rng.integers(0, 5, (BATCH,)).astype(np.int32)),
+                rng.integers(0, 5, (batch,)).astype(np.int32)),
             'keys': jax.device_put(per_sample_keys(
                 jax.random.fold_in(key, i),
-                jnp.arange(BATCH, dtype=jnp.int32))),
+                jnp.arange(batch, dtype=jnp.int32))),
         })
     cm = jnp.zeros((19, 19), jnp.float32)
 
@@ -150,23 +131,36 @@ def measure_tpu_eval() -> float:
     np.asarray(cm)  # hard completion barrier
 
     t0 = time.perf_counter()
-    for i in range(MEASURE_BATCHES):
+    for i in range(n_measure):
         b = batches[i % n]
         cm = step(variables_bf16, b['image'], b['label'], b['weather_id'],
                   b['keys'], cm)
     np.asarray(cm)  # hard completion barrier
     elapsed = time.perf_counter() - t0
-    return MEASURE_BATCHES * BATCH / elapsed
+    return n_measure * batch / elapsed
 
 
 def main() -> None:
-    ref_ips = measure_reference_cpu_baseline()
-    tpu_ips = measure_tpu_eval()
+    base = reference_baseline()
+    ref_e2e = base['ref_e2e_images_per_sec']
+    ref_pipe = base.get('ref_pipeline_images_per_sec',
+                        base.get('ref_images_per_sec', ref_e2e))
+    faithful = measure_tpu_eval('faithful')
+    fused = measure_tpu_eval('fused')
     print(json.dumps({
         'metric': 'ensemble_4weather_eval_throughput',
-        'value': round(tpu_ips, 3),
-        'unit': 'images/sec/chip @512x1024',
-        'vs_baseline': round(tpu_ips / ref_ips, 2),
+        'value': round(faithful, 3),
+        'unit': 'images/sec/chip @512x1024 (head_mode=faithful, '
+                'reference-parity arch)',
+        'vs_baseline': round(faithful / ref_e2e, 2),
+        'fused_value': round(fused, 3),
+        'fused_vs_baseline': round(fused / ref_e2e, 2),
+        'vs_pipeline_only': round(faithful / ref_pipe, 2),
+        'ref_e2e_images_per_sec': round(ref_e2e, 4),
+        'baseline_note': 'ref e2e = reference preprocessing verbatim + '
+                         'architecture-equivalent torch ensemble on this '
+                         'host CPU, perfect-overlap assumption '
+                         '(bench_baseline.py)',
     }))
 
 

@@ -79,6 +79,32 @@ class TestEvaluator:
         assert abs(res['_auroc_histogram_estimate'] -
                    res['ensemble_disagreement_auroc']) < 1e-3
 
+    def test_exact_device_mode_matches_host_exact(self, eval_setup,
+                                                  test_config,
+                                                  synthetic_dataset_dir):
+        """auroc_mode='exact' (mesh-sharded device buffers + distributed
+        sort) equals the host-gathered exact value on the same sweep.
+
+        The dataset re-randomizes weather per __getitem__ from a stateful
+        rng (reference quirk, loader.py:265), so each run gets a FRESH
+        dataset to make the two sweeps identical."""
+        model, variables, _ = eval_setup
+
+        def fresh_loader():
+            ds = CityscapesKITTIDataset(synthetic_dataset_dir, 'test',
+                                        image_size=(32, 48), seed=0)
+            ds.samples = ds.samples[:8]
+            return BatchIterator(ds, batch_size=4, shuffle=False)
+
+        res_dev = Evaluator(model, variables, test_config,
+                            auroc_mode='exact').run(fresh_loader(), seed=7)
+        res_host = Evaluator(model, variables, test_config,
+                             auroc_mode='exact_host').run(fresh_loader(),
+                                                          seed=7)
+        assert abs(res_dev['ensemble_disagreement_auroc'] -
+                   res_host['ensemble_disagreement_auroc']) < 1e-6
+        assert '_auroc_histogram_estimate' in res_dev
+
 
 class TestReport:
     def test_report_files_and_targets_table(self, tmp_path):

@@ -198,6 +198,29 @@ class TestAUROC:
         approx = float(auroc_from_histogram(hist))
         assert abs(exact - approx) < 1e-4
 
+    @pytest.mark.slow
+    def test_exact_sharded_matches_sklearn_10m_pixels(self):
+        """Distributed exact AUROC (mesh-sharded scores, XLA global sort)
+        == sklearn on ≥10⁷ pixels with heavy ties (VERDICT #6)."""
+        sklearn_metrics = pytest.importorskip('sklearn.metrics')
+        from awsegbench.core.mesh import create_mesh
+        from awsegbench.metrics.disagreement import auroc_exact_sharded
+
+        n = 10_000_008  # divisible by 8 devices
+        rng = np.random.default_rng(3)
+        scores = np.round(rng.random(n), 3).astype(np.float32)  # ~1000 ties/level
+        labels = (scores + rng.normal(0, 0.25, n) > 0.5).astype(np.float32)
+        valid = (rng.random(n) > 0.05).astype(np.float32)
+
+        oracle = sklearn_metrics.roc_auc_score(labels[valid > 0],
+                                               scores[valid > 0])
+        mesh = create_mesh()
+        assert mesh.devices.size == 8
+        ours = float(auroc_exact_sharded(jnp.asarray(scores),
+                                         jnp.asarray(labels * valid),
+                                         jnp.asarray(valid), mesh))
+        assert abs(oracle - ours) < 1e-6, (oracle, ours)
+
     def test_degenerate_returns_half(self):
         scores = jnp.asarray(np.random.rand(100).astype(np.float32))
         assert float(auroc_exact(scores, jnp.zeros(100))) == 0.5
