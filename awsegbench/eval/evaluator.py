@@ -85,11 +85,56 @@ class Evaluator:
             mesh_shape=tpu_cfg.get('mesh_shape', 'auto'))
         self.n_devices = self.mesh.devices.size
         self.policy = get_policy(tpu_cfg.get('precision', 'bf16'))
-        self._step = self._build_step()
 
-    def _build_step(self):
+        # Spatial tiling (SURVEY §5 long-context analog): shard one full-res
+        # image's tile grid over the mesh instead of the batch axis.
+        #  'auto' — tile when the image is ≥ 2048×1024 AND the mesh has >1
+        #           device; 'on'/'off' force it. tile_size 'auto' picks a
+        #           near-square n_devices grid. The halo default (128 px)
+        #           covers the dominant conv receptive fields at os16; the
+        #           globally-coupled ops (SR attention, ASPP image pooling)
+        #           make tiling approximate near tile seams — use the
+        #           monolithic path when bit-parity with the single-chip
+        #           result is required.
+        eval_cfg = cfg.get('evaluation') or {}
+        self.spatial_tiling = eval_cfg.get('spatial_tiling', 'auto')
+        self.tile_size = eval_cfg.get('tile_size', 'auto')
+        self.tile_halo = int(eval_cfg.get('tile_halo', 128))
+        self._step = None  # built lazily: tiling decision needs image size
+
+    def _use_tiling(self, height: int, width: int) -> bool:
+        if self.spatial_tiling == 'on':
+            return True
+        if self.spatial_tiling == 'auto':
+            return height * width >= 2048 * 1024 and self.n_devices > 1
+        return False
+
+    def _resolve_tiles(self, height: int, width: int):
+        from ..parallel.collectives import choose_tile_grid
+        if self.tile_size == 'auto':
+            return choose_tile_grid(height, width, self.n_devices)
+        return tuple(self.tile_size)
+
+    def _build_step(self, tiled: bool, image_hw=None):
         n_weathers = len(WEATHER_CONDITIONS)
         c = self.num_classes
+        if tiled:
+            tile_h, tile_w = self._resolve_tiles(*image_hw)
+            halo = self.tile_halo
+            logger.info(f'Spatial tiling enabled: {tile_h}x{tile_w} tiles '
+                        f'+{halo}px halo over {self.n_devices} devices')
+
+        def forward(variables, x):
+            if not tiled:
+                return self.model.apply(variables, x, train=False)
+            from ..parallel.collectives import tiled_forward
+
+            def one(img):
+                return tiled_forward(
+                    lambda v, t: self.model.apply(v, t, train=False),
+                    variables, img, tile_h, tile_w, halo, mesh=self.mesh)
+            # sequential over the (small) image batch; parallel over tiles
+            return jax.lax.map(one, x)
 
         def step(variables, images, labels, weather_ids, sample_ids,
                  sample_mask, step_key, acc):
@@ -97,7 +142,7 @@ class Evaluator:
             prep = prepare_batch(images, labels, weather_ids, keys,
                                  train=False, include_depth=False)
             x = prep['image'].astype(self.policy.compute_dtype)
-            outputs = self.model.apply(variables, x, train=False)
+            outputs = forward(variables, x)
             logits = outputs['segmentation'].astype(jnp.float32)
             preds = jnp.argmax(logits, axis=-1)
             lbl = prep['label']
@@ -150,13 +195,17 @@ class Evaluator:
 
         rep = replicated_sharding(self.mesh)
         data = batch_sharding(self.mesh)
+        # tiled mode: the batch is replicated and parallelism comes from the
+        # tile axis inside forward(); the exact-AUROC buffers then shard on
+        # their own (pixel) axis in either mode
+        bsh = rep if tiled else data
         if self.auroc_mode == 'exact':
             acc_sharding = {'cm': rep, 'ece': rep, 'auroc_hist': rep,
                             'scores': data, 'errors': data, 'offset': rep}
         else:
             acc_sharding = rep
         return jax.jit(step,
-                       in_shardings=(rep, data, data, data, data, data, rep,
+                       in_shardings=(rep, bsh, bsh, bsh, bsh, bsh, rep,
                                      acc_sharding),
                        out_shardings=(acc_sharding, None),
                        donate_argnums=(7,))
@@ -210,7 +259,14 @@ class Evaluator:
 
         for i, batch in enumerate(test_loader):
             n_images += batch['image'].shape[0]
-            batch, mask = self._pad_batch(batch)
+            h, w = batch['image'].shape[1:3]
+            tiled = self._use_tiling(h, w)
+            if not tiled:
+                batch, mask = self._pad_batch(batch)
+            else:  # batch replicated; every row is real
+                mask = np.ones((batch['image'].shape[0],), dtype=bool)
+            if self._step is None:
+                self._step = self._build_step(tiled, image_hw=(h, w))
             if acc is None:
                 capacity = 0
                 if self.auroc_mode == 'exact':

@@ -54,42 +54,100 @@ def tile_grid(height: int, width: int, tile_h: int, tile_w: int,
     return [(y, x) for y in ys for x in xs]
 
 
+def _tile_origin(y: int, x: int, height: int, width: int, th: int,
+                 tw: int, halo: int) -> Tuple[int, int]:
+    """Top-left of the (uniform-shape) tile slice, CLAMPED inside the image.
+
+    Clamping — rather than padding beyond the image — is what makes tiling
+    exact for stacked zero-padding (SAME) convolutions: each layer's zero
+    padding then occurs only at TRUE image borders, exactly as in the
+    monolithic forward. (A padded halo is wrong for conv stacks: layer 1
+    produces nonzero activations inside the halo where the monolithic
+    layer 2 would see exact zeros from its own SAME padding.)
+    """
+    sy = min(max(y - halo, 0), height - th)
+    sx = min(max(x - halo, 0), width - tw)
+    return sy, sx
+
+
 def spatial_tiles(image: jax.Array, tile_h: int, tile_w: int,
                   halo: int) -> jax.Array:
     """Split [H, W, C] into [N, tile_h + 2·halo, tile_w + 2·halo, C] tiles.
 
-    Edge tiles are edge-padded. H and W must divide by tile_h/tile_w.
+    Every tile lies fully inside the image (edge tiles shift their halo
+    inward, see :func:`_tile_origin`), so a halo ≥ the network's effective
+    receptive-field radius gives EXACT parity with the monolithic forward
+    for conv paths. Requires tile + 2·halo ≤ image in both dims and
+    tile_h/tile_w dividing H/W.
     """
     h, w, c = image.shape
     assert h % tile_h == 0 and w % tile_w == 0, "tile size must divide image"
-    padded = jnp.pad(image, ((halo, halo), (halo, halo), (0, 0)), mode='edge')
+    th, tw = tile_h + 2 * halo, tile_w + 2 * halo
+    assert th <= h and tw <= w, (
+        f"halo {halo} too large: tile+halo {th}x{tw} exceeds image {h}x{w}")
     tiles = []
     for y, x in tile_grid(h, w, tile_h, tile_w, halo):
-        tiles.append(jax.lax.dynamic_slice(
-            padded, (y, x, 0), (tile_h + 2 * halo, tile_w + 2 * halo, c)))
+        sy, sx = _tile_origin(y, x, h, w, th, tw, halo)
+        tiles.append(jax.lax.dynamic_slice(image, (sy, sx, 0), (th, tw, c)))
     return jnp.stack(tiles)
 
 
 def stitch_tiles(tiles: jax.Array, height: int, width: int, tile_h: int,
                  tile_w: int, halo: int) -> jax.Array:
-    """Inverse of spatial_tiles for per-tile outputs: crop halos + place."""
+    """Inverse of spatial_tiles for per-tile outputs: crop each tile's core
+    (at its clamp-dependent offset) and place it."""
     n, th, tw, c = tiles.shape
     out = jnp.zeros((height, width, c), tiles.dtype)
     for i, (y, x) in enumerate(tile_grid(height, width, tile_h, tile_w, halo)):
-        core = tiles[i, halo:halo + tile_h, halo:halo + tile_w, :]
+        sy, sx = _tile_origin(y, x, height, width, th, tw, halo)
+        oy, ox = y - sy, x - sx
+        core = tiles[i, oy:oy + tile_h, ox:ox + tile_w, :]
         out = jax.lax.dynamic_update_slice(out, core, (y, x, 0))
     return out
 
 
 def tiled_forward(apply_fn, variables, image: jax.Array, tile_h: int,
-                  tile_w: int, halo: int, out_channels: int) -> jax.Array:
+                  tile_w: int, halo: int, out_channels: int = 0,
+                  mesh=None) -> Any:
     """Run ``apply_fn`` over spatial tiles of one [H, W, 3] image and
-    stitch [H, W, out_channels] logits. The tile batch axis shards over the
-    data mesh axis under jit, so one full-res image spreads across chips.
+    stitch full-res outputs back together.
+
+    The tile axis becomes the batch axis; when ``mesh`` is given it is
+    constrained to shard over the data axis, so ONE full-res image spreads
+    across chips (choose the tile grid so the tile count is a multiple of
+    the mesh size). ``apply_fn(variables, tiles)`` may return an array or a
+    dict of [N, th, tw, C] arrays (e.g. the ensemble's
+    segmentation/member/depth outputs) — every entry is stitched.
     """
     h, w, _ = image.shape
     tiles = spatial_tiles(image, tile_h, tile_w, halo)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        tiles = jax.lax.with_sharding_constraint(
+            tiles, NamedSharding(mesh, P(DATA_AXIS)))
     out = apply_fn(variables, tiles)
     if isinstance(out, dict):
-        out = out['segmentation']
+        return {k: stitch_tiles(v, h, w, tile_h, tile_w, halo)
+                for k, v in out.items()}
     return stitch_tiles(out, h, w, tile_h, tile_w, halo)
+
+
+def choose_tile_grid(height: int, width: int, n_tiles: int
+                     ) -> Tuple[int, int]:
+    """Pick (tile_h, tile_w) splitting H×W into exactly ``n_tiles``
+    near-square tiles with exact divisibility. Raises if no factorization
+    of ``n_tiles`` divides both dims."""
+    best = None
+    for gh in range(1, n_tiles + 1):
+        if n_tiles % gh:
+            continue
+        gw = n_tiles // gh
+        if height % gh or width % gw:
+            continue
+        th, tw = height // gh, width // gw
+        score = abs(th - tw)
+        if best is None or score < best[0]:
+            best = (score, th, tw)
+    if best is None:
+        raise ValueError(f'cannot split {height}x{width} into {n_tiles} tiles')
+    return best[1], best[2]

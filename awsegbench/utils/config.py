@@ -212,6 +212,9 @@ def create_default_config() -> Config:
         'evaluation': {
             'num_bins': 15,
             'auroc_mode': 'histogram',
+            'spatial_tiling': 'auto',
+            'tile_size': 'auto',
+            'tile_halo': 128,
             'weather_conditions': ['clean', 'fog', 'rain', 'snow', 'night'],
         },
         'logging': {

@@ -120,3 +120,81 @@ class TestSpatialShardingAcrossMesh:
         out = f(img)
         assert np.allclose(np.asarray(mono)[4:-4, 4:-4],
                            np.asarray(out)[4:-4, 4:-4], atol=1e-5)
+
+    def test_choose_tile_grid(self):
+        from awsegbench.parallel.collectives import choose_tile_grid
+        assert choose_tile_grid(2048, 1024, 8) == (512, 512)
+        assert choose_tile_grid(64, 128, 8) == (32, 32)
+        with pytest.raises(ValueError):
+            choose_tile_grid(63, 127, 8)
+
+
+class TestEvaluatorSpatialTiling:
+    """VERDICT #5: spatial halo-tiling wired into the product eval path."""
+
+    def _fresh_loader(self, data_dir, hw, n=4, batch=2):
+        from awsegbench.data import BatchIterator, CityscapesKITTIDataset
+        ds = CityscapesKITTIDataset(data_dir, 'test', image_size=hw, seed=0)
+        ds.samples = ds.samples[:n]
+        return BatchIterator(ds, batch_size=batch, shuffle=False)
+
+    def test_tiled_evaluator_matches_monolithic_for_conv_model(
+            self, synthetic_dataset_dir, test_config):
+        """With a pure-conv model and halo ≥ receptive-field radius, the
+        tiled sweep's metrics equal the monolithic sweep's exactly."""
+        import flax.linen as nn
+        from awsegbench.eval import Evaluator
+        from awsegbench.models import init_model
+
+        class _ConvNet(nn.Module):
+            num_classes: int = 5
+
+            @nn.compact
+            def __call__(self, x, train=False):
+                y = nn.relu(nn.Conv(8, (3, 3))(x))
+                return {'segmentation': nn.Conv(self.num_classes, (3, 3))(y)}
+
+        model = _ConvNet()
+        variables = init_model(model, jax.random.PRNGKey(0), (1, 64, 128, 3))
+        cfg = test_config.to_dict()
+        cfg['tpu'] = {'precision': 'fp32'}
+
+        cfg['evaluation'] = {'spatial_tiling': 'off'}
+        mono = Evaluator(model, variables, cfg).run(
+            self._fresh_loader(synthetic_dataset_dir, (64, 128)), seed=3)
+
+        cfg['evaluation'] = {'spatial_tiling': 'on', 'tile_size': 'auto',
+                             'tile_halo': 8}
+        tiled = Evaluator(model, variables, cfg).run(
+            self._fresh_loader(synthetic_dataset_dir, (64, 128)), seed=3)
+
+        assert abs(mono['overall_miou'] - tiled['overall_miou']) < 1e-6
+        assert abs(mono['expected_calibration_error'] -
+                   tiled['expected_calibration_error']) < 1e-6
+
+    @pytest.mark.slow
+    def test_fullres_2048x1024_eval_sharded_over_8_devices(
+            self, synthetic_dataset_dir, test_config):
+        """2048×1024 ensemble eval runs tiled over the 8-device mesh
+        (auto threshold) and produces the full result schema."""
+        import sys
+        sys.path.insert(0, str(__import__('pathlib').Path(__file__).parent))
+        from test_eval import _TinyEnsemble
+        from awsegbench.eval import Evaluator
+        from awsegbench.models import init_model
+
+        model = _TinyEnsemble(num_classes=5, include_depth=False)
+        variables = init_model(model, jax.random.PRNGKey(0),
+                               (1, 2048, 1024, 3))
+        cfg = test_config.to_dict()
+        cfg['tpu'] = {'precision': 'fp32'}
+        cfg['evaluation'] = {'spatial_tiling': 'auto', 'tile_size': 'auto',
+                             'tile_halo': 64}
+        ev = Evaluator(model, variables, cfg)
+        loader = self._fresh_loader(synthetic_dataset_dir, (2048, 1024),
+                                    n=2, batch=1)
+        results = ev.run(loader, seed=5)
+        assert results['_num_images'] == 2
+        assert 0.0 <= results['overall_miou'] <= 1.0
+        assert 'ensemble_disagreement_auroc' in results
+        assert np.isfinite(results['expected_calibration_error'])
