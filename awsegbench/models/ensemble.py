@@ -27,11 +27,13 @@ class EnsembleModel(nn.Module):
     ensemble_strategy: str = 'weighted_average'
     temperature_scaling: bool = True
     head_mode: str = 'faithful'
+    fused_upsample: bool = True
 
     def setup(self) -> None:
         self.segformer = SegFormerModel(num_classes=self.num_classes,
                                         include_depth=self.include_depth,
-                                        head_mode=self.head_mode)
+                                        head_mode=self.head_mode,
+                                        fused_upsample=self.fused_upsample)
         self.deeplabv3plus = DeepLabV3PlusModel(num_classes=self.num_classes,
                                                 include_depth=self.include_depth)
         # learnable ensemble weights, init 1/2 each (model.py:420)

@@ -27,11 +27,13 @@ def create_model(config: Config) -> nn.Module:
     num_classes = model_config.get('num_classes', 19)
     include_depth = model_config.get('include_depth', True)
     head_mode = model_config.get('head_mode', 'faithful')
+    fused_upsample = model_config.get('fused_upsample', True)
 
     if model_type == 'segformer':
         return SegFormerModel(num_classes=num_classes,
                               include_depth=include_depth,
-                              head_mode=head_mode)
+                              head_mode=head_mode,
+                              fused_upsample=fused_upsample)
     if model_type == 'deeplabv3plus':
         return DeepLabV3PlusModel(num_classes=num_classes,
                                   include_depth=include_depth)
@@ -42,6 +44,7 @@ def create_model(config: Config) -> nn.Module:
             ensemble_strategy=model_config.get('ensemble_strategy', 'weighted_average'),
             temperature_scaling=model_config.get('temperature_scaling', True),
             head_mode=head_mode,
+            fused_upsample=fused_upsample,
         )
     raise ValueError(f"Unknown model type: {model_type}")
 

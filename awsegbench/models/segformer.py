@@ -168,6 +168,7 @@ class SegFormerModel(nn.Module):
     num_classes: int = 19
     include_depth: bool = True
     head_mode: str = 'faithful'   # 'faithful' (upsample feats → heads) | 'fused'
+    fused_upsample: bool = True   # faithful path: collapse upsample into conv1
     hidden_sizes: Sequence[int] = (32, 64, 160, 256)
     depths: Sequence[int] = (2, 2, 2, 2)
 
@@ -179,12 +180,25 @@ class SegFormerModel(nn.Module):
         feat = features[-1]  # last hidden state, as model.py:193-207
 
         if self.head_mode == 'faithful':
-            # upsample features to input res before heads (model.py:209-211)
-            feat = upsample_like(feat, (h, w))
-            seg = SegmentationHead(self.num_classes)(feat, train)
+            # upsample features to input res before heads (model.py:209-211).
+            # When the upsample is an integer ×scale (the normal case: the
+            # encoder downsamples by exactly 32), the heads fuse it into
+            # their first conv (ops/upconv.py) — same function, the
+            # full-res conv's FLOPs collapse; otherwise fall back to the
+            # literal materialize-then-conv composition.
+            fh, fw = feat.shape[1], feat.shape[2]
+            scale = h // fh if fh else 0
+            use_fused = (self.fused_upsample and scale >= 4
+                         and h == fh * scale and w == fw * scale)
+            up_scale = scale if use_fused else None
+            if not use_fused:
+                feat = upsample_like(feat, (h, w))
+            seg = SegmentationHead(self.num_classes)(
+                feat, train, upsample_scale=up_scale)
             results = {'segmentation': seg}
             if self.include_depth:
-                results['depth'] = DepthEstimationHead(hidden_channels=128)(feat, train)
+                results['depth'] = DepthEstimationHead(hidden_channels=128)(
+                    feat, train, upsample_scale=up_scale)
         else:
             seg = SegmentationHead(self.num_classes)(feat, train)
             results = {'segmentation': upsample_like(seg, (h, w))}

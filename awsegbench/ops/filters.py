@@ -42,24 +42,29 @@ def gaussian_kernel1d_cv(ksize: int, sigma: float) -> np.ndarray:
 
 def _depthwise_conv_axis(x: jax.Array, taps: jax.Array, axis: int,
                          mode: BoundaryMode) -> jax.Array:
-    """Depthwise 1-D correlation along H (axis=1) or W (axis=2) of NHWC x."""
+    """Depthwise 1-D correlation along H (axis=1) or W (axis=2) of NHWC x.
+
+    Implemented as k shifted multiply-adds (XLA fuses them into one VPU
+    pass) rather than ``lax.conv feature_group_count=C``: image tensors
+    here have C ∈ {1, 3}, and TPU grouped convs pad each group to the full
+    128-lane tile — a ~40× compute/memory blow-up that made these blurs the
+    hottest ops in the corruption engine (measured 18 ms for three 3-channel
+    blurs at [8,512,1024] vs ~2 ms as shifted adds).
+    """
     k = taps.shape[0]
     pad = k // 2
     pad_widths = [(0, 0)] * 4
     pad_widths[axis] = (pad, pad)
     xp = jnp.pad(x, pad_widths, mode=mode)
-    c = x.shape[-1]
-    if axis == 1:
-        kernel = taps.reshape(k, 1, 1, 1)
-    else:
-        kernel = taps.reshape(1, k, 1, 1)
-    kernel = jnp.tile(kernel, (1, 1, 1, c)).astype(x.dtype)
-    return jax.lax.conv_general_dilated(
-        xp, kernel,
-        window_strides=(1, 1), padding='VALID',
-        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-        feature_group_count=c,
-    )
+    n = x.shape[axis]
+    taps = taps.astype(x.dtype)
+    out = None
+    for i in range(k):
+        sl = [slice(None)] * 4
+        sl[axis] = slice(i, i + n)
+        term = xp[tuple(sl)] * taps[i]
+        out = term if out is None else out + term
+    return out
 
 
 def separable_filter(x: jax.Array, taps_h: jax.Array, taps_w: jax.Array,
@@ -88,16 +93,17 @@ def box_filter(x: jax.Array, ksize: int = 5) -> jax.Array:
     Direct (non-separable) 2-D conv: matches cv2's direct filtering to fp32
     epsilon, where a separable two-pass 1/k·1/k would double-round.
     """
-    c = x.shape[-1]
     pad = ksize // 2
     xp = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad), (0, 0)], mode='reflect')
-    kernel = jnp.full((ksize, ksize, 1, 1), 1.0 / (ksize * ksize), dtype=x.dtype)
-    kernel = jnp.tile(kernel, (1, 1, 1, c))
-    return jax.lax.conv_general_dilated(
-        xp, kernel, window_strides=(1, 1), padding='VALID',
-        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-        feature_group_count=c,
-    )
+    h, w = x.shape[1], x.shape[2]
+    inv = jnp.asarray(1.0 / (ksize * ksize), x.dtype)
+    out = None
+    # direct 2-D sum as fused shifted adds (see _depthwise_conv_axis note)
+    for dy in range(ksize):
+        for dx in range(ksize):
+            term = xp[:, dy:dy + h, dx:dx + w, :]
+            out = term if out is None else out + term
+    return out * inv
 
 
 _LAPLACIAN_K1 = np.array([[0, 1, 0], [1, -4, 1], [0, 1, 0]], dtype=np.float32)
@@ -105,16 +111,13 @@ _LAPLACIAN_K1 = np.array([[0, 1, 0], [1, -4, 1], [0, 1, 0]], dtype=np.float32)
 
 def laplacian(x: jax.Array) -> jax.Array:
     """cv2.Laplacian(gray, ksize=1) on NHWC (usually C=1) batches."""
-    c = x.shape[-1]
     pad_widths = [(0, 0), (1, 1), (1, 1), (0, 0)]
     xp = jnp.pad(x, pad_widths, mode='reflect')
-    kernel = jnp.asarray(_LAPLACIAN_K1).reshape(3, 3, 1, 1)
-    kernel = jnp.tile(kernel, (1, 1, 1, c)).astype(x.dtype)
-    return jax.lax.conv_general_dilated(
-        xp, kernel, window_strides=(1, 1), padding='VALID',
-        dimension_numbers=('NHWC', 'HWIO', 'NHWC'),
-        feature_group_count=c,
-    )
+    h, w = x.shape[1], x.shape[2]
+    # ∇² = up + down + left + right − 4·center, fused shifted adds
+    return (xp[:, 0:h, 1:w + 1, :] + xp[:, 2:h + 2, 1:w + 1, :]
+            + xp[:, 1:h + 1, 0:w, :] + xp[:, 1:h + 1, 2:w + 2, :]
+            - 4.0 * xp[:, 1:h + 1, 1:w + 1, :])
 
 
 def rgb_to_gray_cv(x: jax.Array) -> jax.Array:

@@ -40,7 +40,11 @@ def estimate_depth(image_u8: jax.Array) -> jax.Array:
     depth = jnp.clip(depth - 0.3 * texture_strength, 0.0, 1.0)
 
     depth = gaussian_filter_scipy(depth[None, :, :, None], sigma=2.0)[0, :, :, 0]
-    return depth
+    # The Gaussian is a convex combination of in-[0,1] values, so this clip
+    # is a mathematical no-op — it only strips the ≤1-ulp excursions FMA
+    # contraction in the shifted-add filter can introduce (keeps the
+    # documented [0,1] output contract exact).
+    return jnp.clip(depth, 0.0, 1.0)
 
 
 def estimate_depth_batch(images_u8: jax.Array) -> jax.Array:

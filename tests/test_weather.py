@@ -73,14 +73,27 @@ class TestCorruptions:
             assert not np.array_equal(out[i], tiny_batch['image'][i])
 
     def test_static_matches_mixed_dispatch(self, tiny_batch):
-        """The static-weather fast path must equal the lax.switch path."""
+        """The static-weather fast path must equal the fused mixed path.
+
+        Tolerance: ≤1 uint8 LSB. The two paths are separately compiled XLA
+        programs; the blur's shifted-multiply-add chain (ops/filters.py) is
+        subject to context-dependent FMA contraction, so float values can
+        differ by ~1 ulp — and the uint8 quantization *truncates*, so any
+        constant-color region whose blurred value lands exactly on an
+        integer (e.g. rain-splat color 1.0 → 255, saturated sky) flips by
+        one LSB across the whole region. Structure and parameters are
+        identical (same per-sample key splits); differences are bounded by
+        one quantization step.
+        """
         keys = jax.random.split(KEY, 4)
         imgs = jnp.asarray(tiny_batch['image'])
         for weather in ['fog', 'rain', 'snow', 'night']:
             wid = jnp.full((4,), WEATHER_IDS[weather], jnp.int32)
-            mixed = np.asarray(corrupt_batch(imgs, wid, keys))
-            static = np.asarray(corrupt_batch_static(imgs, weather, keys))
-            assert np.array_equal(mixed, static), weather
+            mixed = np.asarray(corrupt_batch(imgs, wid, keys)).astype(np.int16)
+            static = np.asarray(
+                corrupt_batch_static(imgs, weather, keys)).astype(np.int16)
+            diff = np.abs(mixed - static)
+            assert diff.max() <= 1, (weather, diff.max())
 
 
 class TestGoldenParity:
