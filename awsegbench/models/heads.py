@@ -8,20 +8,26 @@ Architecture parity with the reference heads:
 
 All modules are NHWC (TPU-native layout).
 
-Fused-upsample path: in the reference's faithful SegFormer design the head
-input is a ×32 bilinear upsample of the stage-4 features (model.py:209-214).
-When ``upsample_scale`` is passed, the head takes the COARSE features and
-computes its first conv via ``ops.upconv.upsample_conv3x3`` — the exact
-algebraic collapse of conv3×3 ∘ upsample — instead of running a dense 3×3
-conv over the materialized full-res field. Same function (mod float
-reassociation; pinned by tests/test_upconv.py), ~60× fewer MXU FLOPs for
-the dominant op. The first conv's parameters live in a ``Conv_0``-named
-holder so the variable tree is byte-identical to the plain ``nn.Conv``
-layout (checkpoints / converters / pretrained grafting unaffected).
+Execution paths (same parameters, same variable tree — pinned by tests):
+1. plain — materialized input, manual conv/BN numerically matching
+   ``nn.Conv``/``nn.BatchNorm``;
+2. fused upsample (``upsample_scale=``) — the faithful SegFormer design
+   feeds the heads a ×32 bilinear upsample of stage-4 features
+   (model.py:209-214); the first conv then collapses algebraically with
+   the upsample (``ops/upconv.py``);
+3. Pallas (eval mode on TPU, ``upsample_scale`` set) — the WHOLE head runs
+   as one fused kernel per 32×32 output tile (``ops/headkernels.py``):
+   full-res hidden activations never touch HBM.
+
+Parameters live in ``Conv_N``/``BatchNorm_N``-named holders whose variable
+layout is byte-identical to the ``nn.Conv``/``nn.BatchNorm`` modules they
+replace, so checkpoints, converters, and pretrained grafting are
+unaffected.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import flax.linen as nn
@@ -29,41 +35,105 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..ops.headkernels import (
+    depth_head_fused,
+    pallas_heads_available,
+    seg_head_fused,
+)
 from ..ops.upconv import upsample_conv3x3
 
 # He-normal fan_out on 'relu' — matches torch kaiming_normal_(mode='fan_out')
 he_fan_out = nn.initializers.variance_scaling(2.0, 'fan_out', 'truncated_normal')
 he_fan_out_normal = nn.initializers.variance_scaling(2.0, 'fan_out', 'normal')
 
+BN_MOMENTUM = 0.9
+BN_EPS = 1e-5
 
-class Conv3x3Params(nn.Module):
+
+def _pallas_heads_enabled() -> bool:
+    if os.environ.get('AWSEG_DISABLE_PALLAS_HEADS'):
+        return False
+    return pallas_heads_available()
+
+
+class ConvParams(nn.Module):
     """Parameter holder matching ``nn.Conv``'s variable layout exactly
-    (``kernel`` [3,3,Cin,Cout] + ``bias`` [Cout]) so the same parameters
-    can drive either a plain conv or the fused upsample+conv path."""
+    (``kernel`` [kh,kw,Cin,Cout] + ``bias`` [Cout]) so the same parameters
+    can drive either module-style or raw-kernel execution paths."""
 
     features: int
+    kernel_size: int = 3
     kernel_init: nn.initializers.Initializer = he_fan_out_normal
 
     @nn.compact
     def __call__(self, in_features: int):
+        k = self.kernel_size
         kernel = self.param('kernel', self.kernel_init,
-                            (3, 3, in_features, self.features))
+                            (k, k, in_features, self.features))
         bias = self.param('bias', nn.initializers.zeros_init(),
                           (self.features,))
         return kernel, bias
 
 
-def _conv3x3(x: jax.Array, kernel: jax.Array, bias: jax.Array,
-             upsample_scale: Optional[int]) -> jax.Array:
-    """Apply the head's first 3×3 SAME conv: plain (numerics identical to
-    ``nn.Conv``) or fused with an implicit ×scale bilinear upsample."""
-    if upsample_scale is not None:
-        return upsample_conv3x3(x, kernel, bias, scale=upsample_scale)
+class BatchNormParams(nn.Module):
+    """``nn.BatchNorm``-compatible holder + manual forward.
+
+    Variable layout matches ``nn.BatchNorm(momentum=.9, epsilon=1e-5)``:
+    params ``scale``/``bias``, batch_stats ``mean``/``var``. ``__call__``
+    with an array reproduces flax semantics (train: f32 fast-variance batch
+    stats + running-stat momentum update; eval: running stats); with
+    ``x=None`` it returns the raw arrays for the fused kernel path.
+    """
+
+    momentum: float = BN_MOMENTUM
+    epsilon: float = BN_EPS
+
+    @nn.compact
+    def __call__(self, x: Optional[jax.Array], train: bool = False,
+                 features: Optional[int] = None):
+        c = features if features is not None else x.shape[-1]
+        scale = self.param('scale', nn.initializers.ones_init(), (c,))
+        bias = self.param('bias', nn.initializers.zeros_init(), (c,))
+        ra_mean = self.variable('batch_stats', 'mean',
+                                lambda s: jnp.zeros(s, jnp.float32), (c,))
+        ra_var = self.variable('batch_stats', 'var',
+                               lambda s: jnp.ones(s, jnp.float32), (c,))
+        if x is None:
+            return scale, bias, ra_mean.value, ra_var.value
+
+        if train and not self.is_initializing():
+            axes = tuple(range(x.ndim - 1))
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axes)
+            var = jnp.mean(xf * xf, axes) - mean * mean
+            ra_mean.value = (self.momentum * ra_mean.value
+                             + (1.0 - self.momentum) * mean)
+            ra_var.value = (self.momentum * ra_var.value
+                            + (1.0 - self.momentum) * var)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        dt = jnp.promote_types(x.dtype, scale.dtype)
+        mul = lax.rsqrt(var.astype(dt) + jnp.asarray(self.epsilon, dt))
+        mul = mul * scale.astype(dt)
+        return (x.astype(dt) - mean.astype(dt)) * mul + bias.astype(dt)
+
+
+def _conv(x: jax.Array, kernel: jax.Array, bias: jax.Array) -> jax.Array:
+    """SAME conv numerically matching ``nn.Conv`` (dtype promotion incl.)."""
     dt = jnp.promote_types(x.dtype, kernel.dtype)
     y = lax.conv_general_dilated(
         x.astype(dt), kernel.astype(dt), (1, 1), 'SAME',
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
     return y + bias.astype(dt)
+
+
+def _conv3x3(x: jax.Array, kernel: jax.Array, bias: jax.Array,
+             upsample_scale: Optional[int]) -> jax.Array:
+    """First head conv: plain, or fused with an implicit ×scale upsample."""
+    if upsample_scale is not None:
+        return upsample_conv3x3(x, kernel, bias, scale=upsample_scale)
+    return _conv(x, kernel, bias)
 
 
 class ConvBNReLU(nn.Module):
@@ -91,7 +161,7 @@ class DepthEstimationHead(nn.Module):
     """Depth head for multi-task learning (reference model.py:16-78).
 
     ``upsample_scale``: when set, ``features`` is the coarse field and the
-    first conv fuses the ×scale bilinear upsample (see module docstring).
+    head fuses the ×scale bilinear upsample (see module docstring).
     """
 
     hidden_channels: int = 256
@@ -101,20 +171,36 @@ class DepthEstimationHead(nn.Module):
     @nn.compact
     def __call__(self, features: jax.Array, train: bool = False,
                  upsample_scale: Optional[int] = None) -> jax.Array:
-        k0, b0 = Conv3x3Params(self.hidden_channels, name='Conv_0')(
-            features.shape[-1])
+        c1 = self.hidden_channels
+        c2 = self.hidden_channels // 2
+        k0, b0 = ConvParams(c1, 3, name='Conv_0')(features.shape[-1])
+        bn0 = BatchNormParams(name='BatchNorm_0')
+        k1, b1 = ConvParams(c2, 3, name='Conv_1')(c1)
+        bn1 = BatchNormParams(name='BatchNorm_1')
+        k2, b2 = ConvParams(self.out_channels, 1, name='Conv_2')(c2)
+
+        # The fused depth kernel currently loses to the XLA upconv path on
+        # real hardware (24.7 vs 18.5 ms at [8,512,1024] — conv2's shifted
+        # VMEM windows relayout); opt-in until it wins.
+        use_pallas = (upsample_scale is not None and not train
+                      and self.out_channels == 1
+                      and not self.is_initializing()
+                      and _pallas_heads_enabled()
+                      and bool(os.environ.get('AWSEG_PALLAS_DEPTH_HEAD')))
+        if use_pallas:
+            s0, o0, m0, v0 = bn0(None, features=c1)
+            s1, o1, m1, v1 = bn1(None, features=c2)
+            return depth_head_fused(
+                features, k0, b0, s0, o0, m0, v0, BN_EPS,
+                k1, b1, s1, o1, m1, v1, BN_EPS,
+                k2, b2, scale=upsample_scale)
+
         x = _conv3x3(features, k0, b0, upsample_scale)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5)(x)
-        x = nn.relu(x)
+        x = nn.relu(bn0(x, train))
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        x = nn.Conv(self.hidden_channels // 2, (3, 3), padding='SAME',
-                    kernel_init=he_fan_out_normal, name='Conv_1')(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5)(x)
-        x = nn.relu(x)
-        x = nn.Conv(self.out_channels, (1, 1),
-                    kernel_init=he_fan_out_normal, name='Conv_2')(x)
+        x = _conv(x, k1, b1)
+        x = nn.relu(bn1(x, train))
+        x = _conv(x, k2, b2)
         return nn.sigmoid(x)
 
 
@@ -122,7 +208,7 @@ class SegmentationHead(nn.Module):
     """Conv3×3-BN-ReLU-Dropout-Conv1×1 head (reference model.py:152-158).
 
     ``upsample_scale``: when set, ``features`` is the coarse field and the
-    first conv fuses the ×scale bilinear upsample (see module docstring).
+    head fuses the ×scale bilinear upsample (see module docstring).
     """
 
     num_classes: int
@@ -132,13 +218,20 @@ class SegmentationHead(nn.Module):
     @nn.compact
     def __call__(self, features: jax.Array, train: bool = False,
                  upsample_scale: Optional[int] = None) -> jax.Array:
-        k0, b0 = Conv3x3Params(self.hidden_channels, name='Conv_0')(
-            features.shape[-1])
+        c1 = self.hidden_channels
+        k0, b0 = ConvParams(c1, 3, name='Conv_0')(features.shape[-1])
+        bn0 = BatchNormParams(name='BatchNorm_0')
+        kp, bp = ConvParams(self.num_classes, 1, name='Conv_1')(c1)
+
+        use_pallas = (upsample_scale is not None and not train
+                      and not self.is_initializing()
+                      and _pallas_heads_enabled())
+        if use_pallas:
+            s0, o0, m0, v0 = bn0(None, features=c1)
+            return seg_head_fused(features, k0, b0, s0, o0, m0, v0, BN_EPS,
+                                  kp, bp, scale=upsample_scale)
+
         x = _conv3x3(features, k0, b0, upsample_scale)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5)(x)
-        x = nn.relu(x)
+        x = nn.relu(bn0(x, train))
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        x = nn.Conv(self.num_classes, (1, 1),
-                    kernel_init=he_fan_out_normal, name='Conv_1')(x)
-        return x
+        return _conv(x, kp, bp)
