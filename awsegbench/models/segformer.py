@@ -78,17 +78,31 @@ class EfficientSelfAttention(nn.Module):
         v = nn.Dense(self.dim, kernel_init=trunc02)(kv_in)
 
         m = kv_in.shape[1]
-        # bnhd layout without explicit head transposes: odd head counts
-        # (e.g. stage 3's 5 heads × 32 dims) make transposed relayouts
-        # pathological on TPU tiling; einsum contracts in place instead.
         q = q.reshape(b, n, self.num_heads, head_dim)
         k = k.reshape(b, m, self.num_heads, head_dim)
         v = v.reshape(b, m, self.num_heads, head_dim)
 
-        attn = jnp.einsum('bnhd,bmhd->bhnm', q, k,
-                          preferred_element_type=jnp.float32) * scale
-        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-        out = jnp.einsum('bhnm,bmhd->bnhd', attn, v).reshape(b, n, self.dim)
+        from ..ops.attention import pallas_attention_available, sr_attention
+        if pallas_attention_available() and m <= 4096:
+            # VMEM-resident-score kernel: the f32 [B, h, N, M] score tensor
+            # (537 MB at stage 1 for 512×1024 inputs) never touches HBM.
+            qg = q.transpose(0, 2, 1, 3).reshape(b * self.num_heads, n,
+                                                 head_dim)
+            kg = k.transpose(0, 2, 1, 3).reshape(b * self.num_heads, m,
+                                                 head_dim)
+            vg = v.transpose(0, 2, 1, 3).reshape(b * self.num_heads, m,
+                                                 head_dim)
+            out = sr_attention(qg, kg, vg, scale)
+            out = out.reshape(b, self.num_heads, n, head_dim).transpose(
+                0, 2, 1, 3).reshape(b, n, self.dim)
+        else:
+            # bnhd einsum path: contracts in place without head transposes
+            # (odd head counts tile poorly), f32 scores via XLA.
+            attn = jnp.einsum('bnhd,bmhd->bhnm', q, k,
+                              preferred_element_type=jnp.float32) * scale
+            attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+            out = jnp.einsum('bhnm,bmhd->bnhd', attn, v).reshape(b, n,
+                                                                 self.dim)
         return nn.Dense(self.dim, kernel_init=trunc02)(out)
 
 

@@ -1,0 +1,134 @@
+"""Pallas TPU kernel: spatial-reduction attention core.
+
+SegFormer's efficient attention (SURVEY.md §5 long-context; reference
+model.py:120-146) downsamples K/V by ``sr_ratio`` so the KV length is tiny
+(512 tokens at every stage for 512×1024 inputs) while Q stays at full
+token count (32k at stage 1). The XLA path materializes the f32 score
+tensor ``[B, heads, N, M]`` in HBM — 537 MB at stage 1, read/written ~3×
+around the softmax, which makes stage 1 alone ~70% of encoder time.
+
+This kernel computes ``softmax(q·kᵀ·scale)·v`` per (batch·head, q-tile)
+program with the scores living only in VMEM: the whole KV block fits
+on-chip (M ≤ 1024), so no flash-style online accumulation is needed — one
+[TQ, M] score tile, row softmax, one AV matmul.
+
+Numerics: identical op order to ``jax.nn.softmax`` (max-subtract, exp,
+sum); the normalization divides the AV product instead of the
+probabilities (one rescale per row instead of M) — equal to f32 rounding;
+matmul operand dtype follows the input dtype (bf16 in production, f32 in
+parity tests). Pinned against the einsum path by tests/test_attention.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_MAX_TQ = 2048
+_MAX_M = 4096  # KV block must fit VMEM; production M = 512
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, out_ref, *, scale: float):
+    f32 = jnp.float32
+    q = q_ref[0]                       # [TQ, D]
+    k = k_ref[0]                       # [M, D]
+    v = v_ref[0]                       # [M, D]
+    mm_dtype = q.dtype if q.dtype == jnp.bfloat16 else f32
+
+    s = lax.dot_general(q.astype(mm_dtype), k.astype(mm_dtype),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=f32) * scale   # [TQ, M]
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    o = jnp.dot(p.astype(mm_dtype), v.astype(mm_dtype),
+                preferred_element_type=f32)                   # [TQ, D]
+    out_ref[0] = (o / l).astype(out_ref.dtype)
+
+
+def _sr_attention_forward(q, k, v, scale, interpret):
+    g, n, d = q.shape
+    m = k.shape[1]
+    if m > _MAX_M:
+        raise ValueError(f"sr_attention: KV length {m} exceeds {_MAX_M}")
+    tq = min(_MAX_TQ, n)
+    if n % tq:
+        # pad N up to a tile multiple; padded rows are dropped after
+        pad = (-n) % tq
+        q = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+        return _sr_attention_forward(q, k, v, scale, interpret)[:, :n]
+
+    kernel = functools.partial(_attn_kernel, scale=scale)
+    return pl.pallas_call(
+        kernel,
+        grid=(g, n // tq),
+        in_specs=[
+            pl.BlockSpec((1, tq, d), lambda gg, i: (gg, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, d), lambda gg, i: (gg, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, d), lambda gg, i: (gg, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tq, d), lambda gg, i: (gg, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, n, d), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _sr_attention(q, k, v, scale, interpret):
+    return _sr_attention_forward(q, k, v, scale, interpret)
+
+
+def _sr_attention_fwd(q, k, v, scale, interpret):
+    return _sr_attention_forward(q, k, v, scale, interpret), (q, k, v)
+
+
+def _sr_attention_bwd(scale, interpret, res, g_out):
+    """Backward via the einsum reference's VJP (pallas_call has no
+    autodiff); training recomputes the f32 scores in XLA — acceptable,
+    eval throughput is the headline path."""
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: sr_attention_reference(q_, k_, v_, scale),
+        q, k, v)
+    return vjp(g_out)
+
+
+_sr_attention.defvjp(_sr_attention_fwd, _sr_attention_bwd)
+
+
+def sr_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
+                 interpret: bool = False) -> jax.Array:
+    """``softmax(q·kᵀ·scale)·v`` with VMEM-resident scores.
+
+    Args:
+        q: [G, N, D] queries (G = batch·heads).
+        k, v: [G, M, D] spatially-reduced keys/values; M ≤ 4096.
+    Returns [G, N, D] in q.dtype. Differentiable (custom VJP through the
+    einsum reference).
+    """
+    return _sr_attention(q, k, v, float(scale), interpret)
+
+
+def sr_attention_reference(q: jax.Array, k: jax.Array, v: jax.Array,
+                           scale: float) -> jax.Array:
+    """The XLA einsum path (used off-TPU and as the parity oracle)."""
+    s = jnp.einsum('gnd,gmd->gnm', q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+    return jnp.einsum('gnm,gmd->gnd', p, v).astype(q.dtype)
+
+
+def pallas_attention_available() -> bool:
+    try:
+        return jax.default_backend() in ('tpu', 'axon')
+    except Exception:  # pragma: no cover
+        return False

@@ -75,7 +75,7 @@ DEFAULT_INTENSITY = {
 
 MAX_RAIN_DROPS = 500
 MAX_SNOW_FLAKES = 200
-_SPLAT_CHUNK = 20
+_SPLAT_CHUNK = 50  # measured best on-chip (5.2 vs 6.9 ms/B8 at 20)
 
 
 def quantize_uint8(x: jax.Array) -> jax.Array:
