@@ -1,7 +1,10 @@
-"""On-device image ops replacing the reference's cv2/scipy CPU calls."""
+"""On-device image ops + Pallas TPU kernels replacing the reference's
+cv2/scipy CPU calls and its hot device ops."""
 
+from .attention import sr_attention, sr_attention_reference
 from .filters import (
     box_filter,
+    depthwise_conv3x3,
     gaussian_blur_cv,
     gaussian_filter_scipy,
     laplacian,
@@ -9,10 +12,15 @@ from .filters import (
     rgb_to_gray_cv,
     separable_filter,
 )
+from .headkernels import depth_head_fused, seg_head_fused
 from .resize import resize_bilinear, resize_nearest, upsample_like
+from .upconv import upsample_conv3x3
 
 __all__ = [
     "gaussian_blur_cv", "gaussian_filter_scipy", "box_filter", "laplacian",
     "local_contrast", "rgb_to_gray_cv", "separable_filter",
+    "depthwise_conv3x3",
     "resize_bilinear", "resize_nearest", "upsample_like",
+    "upsample_conv3x3", "seg_head_fused", "depth_head_fused",
+    "sr_attention", "sr_attention_reference",
 ]
