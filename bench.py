@@ -146,13 +146,25 @@ def measure_tpu_eval(head_mode: str) -> float:
     return n_measure * batch / elapsed
 
 
+def _measure_with_retry(head_mode: str, attempts: int = 2) -> float:
+    # the tunneled dev backend's remote-compile helper occasionally 500s;
+    # one retry protects the recorded benchmark artifact
+    for i in range(attempts):
+        try:
+            return measure_tpu_eval(head_mode)
+        except Exception:
+            if i == attempts - 1:
+                raise
+            time.sleep(20)
+
+
 def main() -> None:
     base = reference_baseline()
     ref_e2e = base['ref_e2e_images_per_sec']
     ref_pipe = base.get('ref_pipeline_images_per_sec',
                         base.get('ref_images_per_sec', ref_e2e))
-    faithful = measure_tpu_eval('faithful')
-    fused = measure_tpu_eval('fused')
+    faithful = _measure_with_retry('faithful')
+    fused = _measure_with_retry('fused')
     print(json.dumps({
         'metric': 'ensemble_4weather_eval_throughput',
         'value': round(faithful, 3),
