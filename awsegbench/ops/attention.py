@@ -85,6 +85,102 @@ def _sr_attention_forward(q, k, v, scale, interpret):
     )(q, k, v)
 
 
+def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                     *, scale: float):
+    """Flash-style backward tile: recompute the score tile in VMEM (never
+    HBM), then dq for this q-tile and dk/dv partial sums accumulated across
+    q-tiles into a revisited [M, D] f32 output block (the q-tile grid axis
+    is the minor, sequentially-iterated one, so the accumulation is safe).
+    """
+    f32 = jnp.float32
+    i = pl.program_id(1)
+    q = q_ref[0]                       # [TQ, D]
+    k = k_ref[0]                       # [M, D]
+    v = v_ref[0]                       # [M, D]
+    do = do_ref[0]                     # [TQ, D]
+    mm_dtype = q.dtype if q.dtype == jnp.bfloat16 else f32
+
+    # recompute normalized probabilities exactly as the forward
+    s = lax.dot_general(q.astype(mm_dtype), k.astype(mm_dtype),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=f32) * scale   # [TQ, M]
+    m = jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s - m)
+    p = e / jnp.sum(e, axis=1, keepdims=True)                 # [TQ, M]
+
+    dop = lax.dot_general(do.astype(mm_dtype), v.astype(mm_dtype),
+                          (((1,), (1,)), ((), ())),
+                          preferred_element_type=f32)         # [TQ, M]
+    delta = jnp.sum(p * dop, axis=1, keepdims=True)           # [TQ, 1]
+    ds = p * (dop - delta) * scale                            # [TQ, M]
+
+    dq = jnp.dot(ds.astype(mm_dtype), k.astype(mm_dtype),
+                 preferred_element_type=f32)                  # [TQ, D]
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+
+    dk_part = lax.dot_general(ds.astype(mm_dtype), q.astype(mm_dtype),
+                              (((0,), (0,)), ((), ())),
+                              preferred_element_type=f32)     # [M, D]
+    dv_part = lax.dot_general(p.astype(mm_dtype), do.astype(mm_dtype),
+                              (((0,), (0,)), ((), ())),
+                              preferred_element_type=f32)     # [M, D]
+
+    @pl.when(i == 0)
+    def _():
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
+    dk_ref[0] += dk_part
+    dv_ref[0] += dv_part
+
+
+def _sr_attention_backward(q, k, v, do, scale, interpret):
+    g, n, d = q.shape
+    m = k.shape[1]
+    # two f32 [TQ, M] score tiles live at once (p and dop/ds) plus the f32
+    # dk/dv accumulators — budget the q tile accordingly
+    budget_rows = max(256, ((4 << 20) // (8 * m)) // 256 * 256)
+    tq = min(_MAX_TQ, budget_rows, n)
+    if n % tq:
+        pad = (-n) % tq
+        # zero-padded do rows contribute exactly zero to dk/dv (ds = 0,
+        # p^T·do = 0), so padding is grad-exact; padded dq rows are dropped
+        qp = jnp.pad(q, ((0, 0), (0, pad), (0, 0)))
+        dop = jnp.pad(do, ((0, 0), (0, pad), (0, 0)))
+        dq, dk, dv = _sr_attention_backward(qp, k, v, dop, scale, interpret)
+        return dq[:, :n], dk, dv
+
+    kernel = functools.partial(_attn_bwd_kernel, scale=scale)
+    dq, dk32, dv32 = pl.pallas_call(
+        kernel,
+        grid=(g, n // tq),
+        in_specs=[
+            pl.BlockSpec((1, tq, d), lambda gg, i: (gg, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, d), lambda gg, i: (gg, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, d), lambda gg, i: (gg, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tq, d), lambda gg, i: (gg, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tq, d), lambda gg, i: (gg, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, d), lambda gg, i: (gg, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m, d), lambda gg, i: (gg, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((g, n, d), q.dtype),
+            jax.ShapeDtypeStruct((g, m, d), jnp.float32),
+            jax.ShapeDtypeStruct((g, m, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v, do)
+    return dq, dk32.astype(k.dtype), dv32.astype(v.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _sr_attention(q, k, v, scale, interpret):
     return _sr_attention_forward(q, k, v, scale, interpret)
@@ -95,14 +191,11 @@ def _sr_attention_fwd(q, k, v, scale, interpret):
 
 
 def _sr_attention_bwd(scale, interpret, res, g_out):
-    """Backward via the einsum reference's VJP (pallas_call has no
-    autodiff); training recomputes the f32 scores in XLA — acceptable,
-    eval throughput is the headline path."""
+    """Flash-style backward: dq/dk/dv from a single Pallas kernel with the
+    score recompute VMEM-resident (replaces the round-2 XLA-einsum VJP
+    that re-materialized the full f32 score tensor in HBM)."""
     q, k, v = res
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: sr_attention_reference(q_, k_, v_, scale),
-        q, k, v)
-    return vjp(g_out)
+    return _sr_attention_backward(q, k, v, g_out, scale, interpret)
 
 
 _sr_attention.defvjp(_sr_attention_fwd, _sr_attention_bwd)
@@ -115,8 +208,9 @@ def sr_attention(q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
     Args:
         q: [G, N, D] queries (G = batch·heads).
         k, v: [G, M, D] spatially-reduced keys/values; M ≤ 4096.
-    Returns [G, N, D] in q.dtype. Differentiable (custom VJP through the
-    einsum reference).
+    Returns [G, N, D] in q.dtype. Differentiable: the custom VJP runs a
+    flash-style Pallas backward (score recompute + dq/dk/dv per q-tile,
+    all VMEM-resident).
     """
     return _sr_attention(q, k, v, float(scale), interpret)
 
