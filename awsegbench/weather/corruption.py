@@ -402,9 +402,20 @@ def _corrupt_batch_fused(images: jax.Array, weather_ids: jax.Array,
     valid = jnp.where(sel, rvalid,
                       svalid & is_snow[:, None])  # nothing for other weathers
 
-    cov = jax.vmap(lambda a1, a2, b1, b2, r, v:
-                   _segment_coverage(h, w, a1, a2, b1, b2, r, v))(
-        ax, ay, bx, by, rad, valid)
+    from ..ops.splat import batched_splat_supported
+    if _use_pallas() and batched_splat_supported(h, w):
+        # v3 batched-grid kernel: chunk-vectorized distance math + windowed
+        # VMEM RMW, bit-identical to the scan path (tests/test_splat.py
+        # TestBatchedSplatKernel)
+        from ..ops.splat import prepare_splat_batch, splat_coverage_batched
+        nv, params, winpos = jax.vmap(
+            lambda a1, a2, b1, b2, r, v: prepare_splat_batch(
+                a1, a2, b1, b2, r, v, h, w))(ax, ay, bx, by, rad, valid)
+        cov = splat_coverage_batched(nv, params, winpos, h, w) > 0.5
+    else:
+        cov = jax.vmap(lambda a1, a2, b1, b2, r, v:
+                       _segment_coverage(h, w, a1, a2, b1, b2, r, v))(
+            ax, ay, bx, by, rad, valid)
 
     haze = (i_rain * 0.3)[:, None, None, None]
     base_rain = img_f * (1.0 - haze) + haze * 0.7

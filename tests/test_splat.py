@@ -56,6 +56,39 @@ class TestSplatKernel:
         assert np.array_equal(mask, expected)
 
 
+class TestBatchedSplatKernel:
+    """v3 batched-grid kernel (one program per image, chunk-vectorized
+    math) must be bit-identical to the XLA scan path."""
+
+    def _run(self, b, h, w, n, n_valid, seed=0):
+        from awsegbench.ops.splat import (prepare_splat_batch,
+                                          splat_coverage_batched)
+        caps = [_random_capsules(n, h, w, seed=seed + i, n_valid=n_valid)
+                for i in range(b)]
+        arrs = [jnp.asarray(np.stack([c[j] for c in caps]))
+                for j in range(6)]
+        ax, ay, bx, by, r, valid = arrs
+        nv, params, winpos = jax.vmap(
+            lambda a1, a2, b1, b2, rr, vv: prepare_splat_batch(
+                a1, a2, b1, b2, rr, vv, h, w))(ax, ay, bx, by, r, valid)
+        got = np.asarray(splat_coverage_batched(nv, params, winpos, h, w,
+                                                interpret=True)) > 0.5
+        ref = np.asarray(jax.vmap(
+            lambda a1, a2, b1, b2, rr, vv: C._segment_coverage(
+                h, w, a1, a2, b1, b2, rr, vv))(ax, ay, bx, by, r, valid))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_matches_scan_small_batch(self):
+        self._run(b=2, h=64, w=256, n=64, n_valid=50)
+
+    def test_mixed_validity_and_chunk_boundary(self):
+        # n_valid not a CHUNK multiple exercises the tail-predication path
+        self._run(b=3, h=128, w=384, n=96, n_valid=33, seed=7)
+
+    def test_zero_valid(self):
+        self._run(b=2, h=64, w=256, n=16, n_valid=0, seed=3)
+
+
 class TestSpatialTiling:
     def test_tiles_roundtrip_identity(self):
         rng = np.random.default_rng(0)
