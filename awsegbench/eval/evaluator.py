@@ -127,12 +127,25 @@ class Evaluator:
         def forward(variables, x):
             if not tiled:
                 return self.model.apply(variables, x, train=False)
+            import inspect
             from ..parallel.collectives import tiled_forward
+            # models that accept tile_info (the product families) get the
+            # exact tiled path (halo resyncs + full-image KV/ASPP); plain
+            # conv models are halo-exact already
+            accepts_ti = 'tile_info' in inspect.signature(
+                type(self.model).__call__).parameters
+
+            if accepts_ti:
+                apply_fn = lambda v, t, ti: self.model.apply(  # noqa: E731
+                    v, t, train=False, tile_info=ti)
+            else:
+                apply_fn = lambda v, t: self.model.apply(  # noqa: E731
+                    v, t, train=False)
 
             def one(img):
                 return tiled_forward(
-                    lambda v, t: self.model.apply(v, t, train=False),
-                    variables, img, tile_h, tile_w, halo, mesh=self.mesh)
+                    apply_fn, variables, img, tile_h, tile_w, halo,
+                    mesh=self.mesh, with_tile_info=accepts_ti)
             # sequential over the (small) image batch; parallel over tiles
             return jax.lax.map(one, x)
 
@@ -265,17 +278,37 @@ class Evaluator:
                 batch, mask = self._pad_batch(batch)
             else:  # batch replicated; every row is real
                 mask = np.ones((batch['image'].shape[0],), dtype=bool)
+            if self._step is None and self.auroc_mode == 'exact':
+                # memory guard BEFORE the step is built (downgrading changes
+                # the compiled program): the score buffer is f32 + int8 =
+                # 5 bytes/pixel sharded over the mesh; at 2048×1024
+                # Cityscapes-val scale a single chip would hold ~5 GB —
+                # degrade loudly to the histogram estimator (≤~1e-4 of
+                # exact) instead of OOMing mid-sweep.
+                try:
+                    n_batches = len(test_loader)
+                except TypeError:
+                    raise ValueError(
+                        "auroc_mode='exact' needs a sized loader; use "
+                        "'exact_host' or 'histogram' for unsized streams")
+                bb = batch['image'].shape[0]
+                budget = int((self.config.get('evaluation') or {}).get(
+                    'exact_auroc_max_bytes', 4 << 30))
+                per_device = n_batches * bb * h * w * 5 // self.n_devices
+                if per_device > budget:
+                    logger.warning(
+                        "auroc_mode='exact' would need %.1f GB/device for "
+                        "the score buffer (budget %.1f GB, "
+                        "evaluation.exact_auroc_max_bytes); falling back to "
+                        "the 2^20-bin histogram estimator",
+                        per_device / 2**30, budget / 2**30)
+                    self.auroc_mode = 'histogram'
             if self._step is None:
                 self._step = self._build_step(tiled, image_hw=(h, w))
             if acc is None:
                 capacity = 0
                 if self.auroc_mode == 'exact':
-                    try:
-                        n_batches = len(test_loader)
-                    except TypeError:
-                        raise ValueError(
-                            "auroc_mode='exact' needs a sized loader; use "
-                            "'exact_host' or 'histogram' for unsized streams")
+                    n_batches = len(test_loader)
                     b, h, w = batch['image'].shape[:3]
                     capacity = n_batches * b * h * w
                 acc = self._init_acc(capacity)

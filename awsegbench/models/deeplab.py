@@ -65,7 +65,8 @@ class ResNetEncoder(nn.Module):
     output_stride: int = 16
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> list[jax.Array]:
+    def __call__(self, x: jax.Array, train: bool = False,
+                 tile_info=None) -> list[jax.Array]:
         feats = [x]
         # stem: 7×7/2 conv + BN + ReLU (+maxpool 3×3/2 afterwards)
         y = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
@@ -93,6 +94,11 @@ class ResNetEncoder(nn.Module):
                 y = Bottleneck(width, strides=stride,
                                dilation=dilations[stage],
                                downsample=(b == 0))(y, train)
+            if tile_info is not None:
+                # halo resync per stage: ResNet-50's largest per-stage
+                # local radius (layer3/layer4, ~96 input px) stays within
+                # the halo, keeping tiled inference bit-exact
+                y = tile_info.resync(y)
             feats.append(y)
         return feats
 
@@ -125,7 +131,16 @@ class ASPP(nn.Module):
     dropout: float = 0.5
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False,
+                 tile_info=None) -> jax.Array:
+        # Under spatial tiling the WHOLE pyramid runs on the assembled
+        # full-image map and tiles are re-extracted afterwards: the atrous
+        # rates (12, 24, 36) at os16 reach ~576 input px — far beyond any
+        # feasible halo — and the image-pooling branch is global, so
+        # per-tile evaluation cannot be exact. The os16 map is small
+        # (128×64 at 2048×1024), so full-map compute costs almost nothing.
+        if tile_info is not None:
+            x = tile_info.assemble_full(x)
         h, w = x.shape[1], x.shape[2]
         branches = [ConvBNReLU(self.features, kernel_size=1)(x, train)]
         for rate in self.atrous_rates:
@@ -139,6 +154,8 @@ class ASPP(nn.Module):
         y = jnp.concatenate(branches, axis=-1)
         y = ConvBNReLU(self.features, kernel_size=1)(y, train)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        if tile_info is not None:
+            y = tile_info.extract_tiles(y)
         return y
 
 
@@ -157,15 +174,17 @@ class DeepLabV3PlusModel(nn.Module):
     encoder_widths: Sequence[int] = (64, 128, 256, 512)
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> Dict[str, jax.Array]:
+    def __call__(self, x: jax.Array, train: bool = False,
+                 tile_info=None) -> Dict[str, jax.Array]:
         h, w = x.shape[1], x.shape[2]
         feats = ResNetEncoder(layers=tuple(self.encoder_layers),
                               widths=tuple(self.encoder_widths),
-                              output_stride=self.output_stride)(x, train)
+                              output_stride=self.output_stride)(x, train,
+                                                                tile_info)
         high = feats[-1]       # os16, 2048 ch
         low = feats[2]         # os4, 256 ch (layer1)
 
-        y = ASPP(self.decoder_channels)(high, train)
+        y = ASPP(self.decoder_channels)(high, train, tile_info)
         y = SeparableConvBNReLU(self.decoder_channels)(y, train)
         y = upsample_like(y, (low.shape[1], low.shape[2]))
 

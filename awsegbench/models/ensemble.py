@@ -43,9 +43,10 @@ class EnsembleModel(nn.Module):
             self.temperature = self.param(
                 'temperature', lambda _: jnp.ones((1,), jnp.float32))
 
-    def __call__(self, x: jax.Array, train: bool = False) -> Dict[str, jax.Array]:
-        seg_out = self.segformer(x, train)
-        dlv_out = self.deeplabv3plus(x, train)
+    def __call__(self, x: jax.Array, train: bool = False,
+                 tile_info=None) -> Dict[str, jax.Array]:
+        seg_out = self.segformer(x, train, tile_info)
+        dlv_out = self.deeplabv3plus(x, train, tile_info)
 
         s1 = seg_out['segmentation']
         s2 = dlv_out['segmentation']

@@ -58,7 +58,8 @@ class EfficientSelfAttention(nn.Module):
     sr_ratio: int
 
     @nn.compact
-    def __call__(self, x: jax.Array, hw: tuple[int, int]) -> jax.Array:
+    def __call__(self, x: jax.Array, hw: tuple[int, int],
+                 tile_info=None) -> jax.Array:
         b, n, c = x.shape
         h, w = hw
         head_dim = self.dim // self.num_heads
@@ -66,18 +67,36 @@ class EfficientSelfAttention(nn.Module):
 
         q = nn.Dense(self.dim, kernel_init=trunc02)(x)
 
-        kv_in = x
+        # Under spatial tiling (tile_info set; parallel/collectives.TileInfo)
+        # K/V come from the ASSEMBLED full-image feature map — each tile
+        # attends over exactly the token set the monolithic forward would
+        # see, which is what makes tiled eval bit-exact (the reduced KV is
+        # ≤2048 tokens, so the gather is tiny).
+        kv_src = x
+        kv_b = b
+        if tile_info is not None:
+            full = tile_info.assemble_full(x.reshape(b, h, w, c))
+            kv_src = full.reshape(1, -1, c)
+            kv_b = 1
+            fh, fw = full.shape[1], full.shape[2]
+        else:
+            fh, fw = h, w
+
+        kv_in = kv_src
         if self.sr_ratio > 1:
-            xs = x.reshape(b, h, w, c)
+            xs = kv_src.reshape(kv_b, fh, fw, c)
             xs = nn.Conv(self.dim, (self.sr_ratio, self.sr_ratio),
                          strides=(self.sr_ratio, self.sr_ratio))(xs)
-            kv_in = xs.reshape(b, -1, c)
+            kv_in = xs.reshape(kv_b, -1, c)
             kv_in = nn.LayerNorm(epsilon=1e-6)(kv_in)
 
         k = nn.Dense(self.dim, kernel_init=trunc02)(kv_in)
         v = nn.Dense(self.dim, kernel_init=trunc02)(kv_in)
+        if tile_info is not None:  # share the full-image KV across tiles
+            k = jnp.broadcast_to(k, (b,) + k.shape[1:])
+            v = jnp.broadcast_to(v, (b,) + v.shape[1:])
 
-        m = kv_in.shape[1]
+        m = k.shape[1]
         q = q.reshape(b, n, self.num_heads, head_dim)
         k = k.reshape(b, m, self.num_heads, head_dim)
         v = v.reshape(b, m, self.num_heads, head_dim)
@@ -134,9 +153,10 @@ class SegFormerBlock(nn.Module):
     mlp_ratio: int = 4
 
     @nn.compact
-    def __call__(self, x: jax.Array, hw: tuple[int, int]) -> jax.Array:
+    def __call__(self, x: jax.Array, hw: tuple[int, int],
+                 tile_info=None) -> jax.Array:
         x = x + EfficientSelfAttention(self.dim, self.num_heads, self.sr_ratio)(
-            nn.LayerNorm(epsilon=1e-6)(x), hw)
+            nn.LayerNorm(epsilon=1e-6)(x), hw, tile_info)
         x = x + MixFFN(self.dim, self.mlp_ratio)(
             nn.LayerNorm(epsilon=1e-6)(x), hw)
         return x
@@ -154,7 +174,7 @@ class MiTEncoder(nn.Module):
     mlp_ratios: Sequence[int] = (4, 4, 4, 4)
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> list[jax.Array]:
+    def __call__(self, x: jax.Array, tile_info=None) -> list[jax.Array]:
         """[B, H, W, 3] → list of 4 stage features [B, H/2^{i+2}, W/2^{i+2}, C_i]."""
         features = []
         for i in range(len(self.hidden_sizes)):
@@ -165,9 +185,14 @@ class MiTEncoder(nn.Module):
             for _ in range(self.depths[i]):
                 tokens = SegFormerBlock(self.hidden_sizes[i], self.num_heads[i],
                                         self.sr_ratios[i], self.mlp_ratios[i])(
-                    tokens, (h, w))
+                    tokens, (h, w), tile_info)
             tokens = nn.LayerNorm(epsilon=1e-6)(tokens)
             x = tokens.reshape(b, h, w, c)
+            if tile_info is not None:
+                # halo resync at each stage boundary: per-segment local
+                # receptive radius (≤ ~80 input px for B0) stays within the
+                # halo, making tiled inference bit-exact
+                x = tile_info.resync(x)
             features.append(x)
         return features
 
@@ -187,10 +212,11 @@ class SegFormerModel(nn.Module):
     depths: Sequence[int] = (2, 2, 2, 2)
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> Dict[str, jax.Array]:
+    def __call__(self, x: jax.Array, train: bool = False,
+                 tile_info=None) -> Dict[str, jax.Array]:
         h, w = x.shape[1], x.shape[2]
         features = MiTEncoder(hidden_sizes=tuple(self.hidden_sizes),
-                              depths=tuple(self.depths))(x)
+                              depths=tuple(self.depths))(x, tile_info)
         feat = features[-1]  # last hidden state, as model.py:193-207
 
         if self.head_mode == 'faithful':

@@ -172,6 +172,60 @@ class TestEvaluatorSpatialTiling:
         assert abs(mono['expected_calibration_error'] -
                    tiled['expected_calibration_error']) < 1e-6
 
+    def test_tiled_ensemble_exact_vs_monolithic(self, test_config):
+        """VERDICT r3 #5: the REAL ensemble (SR attention + ASPP) must
+        match the monolithic forward under tiling — the tile_info path
+        gathers full-image KV, runs ASPP on the assembled map, and resyncs
+        halos at stage boundaries, so the result is exact to f32 rounding
+        everywhere (not just tile interiors)."""
+        import sys
+        sys.path.insert(0, str(__import__('pathlib').Path(__file__).parent))
+        from test_eval import _TinyEnsemble
+        from awsegbench.models import init_model
+        from awsegbench.parallel.collectives import TileInfo, tiled_forward
+
+        h = w = 384  # 2x2 grid of 192px tiles, 64px halo (÷32 everywhere)
+        model = _TinyEnsemble(num_classes=5, include_depth=False)
+        variables = init_model(model, jax.random.PRNGKey(0), (1, h, w, 3))
+        rng = np.random.default_rng(4)
+        img = jnp.asarray(rng.normal(size=(h, w, 3)).astype(np.float32))
+
+        mono = model.apply(variables, img[None], train=False)
+
+        tiled = tiled_forward(
+            lambda v, t, ti: model.apply(v, t, train=False, tile_info=ti),
+            variables, img, tile_h=192, tile_w=192, halo=64,
+            with_tile_info=True)
+
+        m = np.asarray(mono['segmentation'][0])
+        t = np.asarray(tiled['segmentation'])
+        np.testing.assert_allclose(t, m, rtol=2e-4, atol=2e-5)
+        np.testing.assert_array_equal(t.argmax(-1), m.argmax(-1))
+        for key in ('segformer_seg', 'deeplabv3plus_seg'):
+            np.testing.assert_allclose(np.asarray(tiled[key]),
+                                       np.asarray(mono[key][0]),
+                                       rtol=2e-4, atol=2e-5)
+
+    def test_tile_info_resync_refills_halo(self):
+        """resync() must replace halo values with other tiles' core
+        values — the halo-exchange primitive behind exact tiling."""
+        from awsegbench.parallel.collectives import TileInfo, spatial_tiles
+
+        h = w = 64
+        rng = np.random.default_rng(5)
+        img = jnp.asarray(rng.normal(size=(h, w, 4)).astype(np.float32))
+        info = TileInfo.build((h, w), (32, 32), 8)
+        tiles = spatial_tiles(img, 32, 32, 8)
+        # corrupt every tile's halo ring, then resync
+        core = np.zeros(tiles.shape, bool)
+        for i, (y, x, sy, sx) in enumerate(info.origins):
+            oy, ox = y - sy, x - sx
+            core[i, oy:oy + 32, ox:ox + 32] = True
+        corrupted = jnp.where(jnp.asarray(core), tiles, 999.0)
+        restored = info.resync(corrupted)
+        np.testing.assert_allclose(np.asarray(restored), np.asarray(tiles),
+                                   atol=1e-6)
+
     @pytest.mark.slow
     def test_fullres_2048x1024_eval_sharded_over_8_devices(
             self, synthetic_dataset_dir, test_config):
