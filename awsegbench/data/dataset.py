@@ -101,6 +101,7 @@ class CityscapesKITTIDataset:
         include_depth: bool = True,
         dataset_type: str = 'cityscapes',
         seed: Optional[int] = None,
+        decoded_cache: Optional[str] = None,
         **kwargs,
     ) -> None:
         self.data_root = Path(data_root)
@@ -115,6 +116,15 @@ class CityscapesKITTIDataset:
         self.samples = self._load_samples()
         logger.info(f"Loaded {len(self.samples)} samples from "
                     f"{dataset_type} dataset ({split} split)")
+
+        # Optional decoded-array cache (TPU-native production path): steady-
+        # state epochs read raw uint8 memmaps instead of re-decoding PNGs —
+        # the on-disk analog of TFRecord/ArrayRecord pre-materialization.
+        # Labels are stored uint8 (Cityscapes/KITTI ids ≤ 255).
+        self._cache = None
+        if decoded_cache and any('synthetic' not in s['image']
+                                 for s in self.samples):
+            self._init_decoded_cache(Path(decoded_cache))
 
     # -- scanning -----------------------------------------------------------
 
@@ -183,55 +193,127 @@ class CityscapesKITTIDataset:
         logger.info(f"Generated {len(samples)} synthetic samples for testing")
         return samples
 
+    # -- decoded cache ------------------------------------------------------
+
+    def _init_decoded_cache(self, cache_dir: Path) -> None:
+        try:
+            cache_dir.mkdir(parents=True, exist_ok=True)
+            n = len(self.samples)
+            h, w = self.image_size
+            tag = f'{self.dataset_type}_{self.split}_{n}_{h}x{w}'
+            img_path = cache_dir / f'{tag}_images.u8'
+            lbl_path = cache_dir / f'{tag}_labels.u8'
+            flag_path = cache_dir / f'{tag}_present.u8'
+            fresh = not flag_path.exists()
+            self._cache = {
+                'images': np.memmap(img_path, dtype=np.uint8,
+                                    mode='r+' if img_path.exists() else 'w+',
+                                    shape=(n, h, w, 3)),
+                'labels': np.memmap(lbl_path, dtype=np.uint8,
+                                    mode='r+' if lbl_path.exists() else 'w+',
+                                    shape=(n, h, w)),
+                'present': np.memmap(flag_path, dtype=np.uint8,
+                                     mode='w+' if fresh else 'r+',
+                                     shape=(n,)),
+            }
+            if fresh:
+                self._cache['present'][:] = 0
+        except Exception as e:  # pragma: no cover
+            logger.warning(f"decoded cache unavailable at {cache_dir}: {e}")
+            self._cache = None
+
     # -- loading ------------------------------------------------------------
 
-    def _load_image(self, image_path: str) -> np.ndarray:
-        h, w = self.image_size
+    def _decode_image(self, image_path: str) -> Optional[np.ndarray]:
+        """RNG-free decode+resize; None signals the synthetic fallback."""
         if 'synthetic' in image_path:
-            return self._rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+            return None
         try:
             if os.path.exists(image_path):
                 image = _read_image_rgb(image_path)
                 if image is None:
                     raise ValueError(f"Could not read image from {image_path}")
             else:
-                return self._rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+                return None
         except Exception as e:
             logger.warning(f"Error loading image {image_path}: {e}, "
                            "using synthetic image")
-            return self._rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+            return None
         if image.shape[:2] != self.image_size:
             image = _resize_rgb(image, self.image_size)
         return image
 
-    def _load_label(self, label_path: str) -> np.ndarray:
-        h, w = self.image_size
+    def _decode_label(self, label_path: str) -> Optional[np.ndarray]:
         if 'synthetic' in label_path:
-            return self._rng.integers(0, 19, (h, w)).astype(np.int32)
+            return None
         try:
             if os.path.exists(label_path):
                 label = _read_label_gray(label_path)
                 if label is None:
                     raise ValueError(f"Could not read label from {label_path}")
             else:
-                return self._rng.integers(0, 19, (h, w)).astype(np.int32)
+                return None
         except Exception as e:
             logger.warning(f"Error loading label {label_path}: {e}, "
                            "using synthetic label")
-            return self._rng.integers(0, 19, (h, w)).astype(np.int32)
+            return None
         if label.shape != self.image_size:
             label = _resize_label(label, self.image_size)
         return label.astype(np.int32)
+
+    def _load_image(self, image_path: str) -> np.ndarray:
+        image = self._decode_image(image_path)
+        if image is None:
+            h, w = self.image_size
+            return self._rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        return image
+
+    def _load_label(self, label_path: str) -> np.ndarray:
+        label = self._decode_label(label_path)
+        if label is None:
+            h, w = self.image_size
+            return self._rng.integers(0, 19, (h, w)).astype(np.int32)
+        return label
 
     # -- access -------------------------------------------------------------
 
     def __len__(self) -> int:
         return len(self.samples)
 
-    def __getitem__(self, idx: int) -> Dict[str, object]:
+    def load_arrays(self, idx: int):
+        """RNG-free, thread-safe decode of sample ``idx``.
+
+        Returns ``(image|None, label|None)`` — None marks a synthetic/
+        failed slot whose fallback draw must happen in ``finish_item`` (on
+        ONE thread, in index order) to keep the RNG stream identical to a
+        sequential ``__getitem__`` loop. Serves from / fills the decoded
+        cache when enabled.
+        """
         info = self.samples[idx]
-        image = self._load_image(info['image'])
-        label = self._load_label(info['label'])
+        cache = self._cache
+        if cache is not None and cache['present'][idx]:
+            return (np.array(cache['images'][idx]),
+                    np.array(cache['labels'][idx]).astype(np.int32))
+        image = self._decode_image(info['image'])
+        label = self._decode_label(info['label'])
+        if (cache is not None and image is not None and label is not None
+                and label.max(initial=0) <= 255 and label.min(initial=0) >= 0):
+            cache['images'][idx] = image
+            cache['labels'][idx] = label.astype(np.uint8)
+            cache['present'][idx] = 1
+        return image, label
+
+    def finish_item(self, idx: int, image: Optional[np.ndarray],
+                    label: Optional[np.ndarray]) -> Dict[str, object]:
+        """RNG-consuming tail of ``__getitem__`` (synthetic fallbacks +
+        weather pick). Must be called in index order from a single thread;
+        consumes the RNG exactly like the sequential path."""
+        info = self.samples[idx]
+        h, w = self.image_size
+        if image is None:
+            image = self._rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        if label is None:
+            label = self._rng.integers(0, 19, (h, w)).astype(np.int32)
         # fresh uniform weather pick per access (loader.py:265)
         weather = str(self._rng.choice(self.weather_conditions))
         return {
@@ -241,3 +323,6 @@ class CityscapesKITTIDataset:
             'weather_condition': weather,
             'dataset': info['dataset'],
         }
+
+    def __getitem__(self, idx: int) -> Dict[str, object]:
+        return self.finish_item(idx, *self.load_arrays(idx))

@@ -33,6 +33,19 @@ IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 
 
+def _stack(items, num_threads: int) -> np.ndarray:
+    """Batch-stack via the native threaded packer when available (memcpy
+    released from the GIL, one thread per stripe); np.stack fallback."""
+    if num_threads > 1 and len(items) > 1:
+        from .. import native as _native
+        if _native.available():
+            out = _native.pack_batch(items, n_threads=min(num_threads,
+                                                          len(items)))
+            if out is not None:
+                return out
+    return np.stack(items)
+
+
 class BatchIterator:
     """Shuffled, threaded-prefetch batch iterator over a map-style dataset.
 
@@ -52,6 +65,15 @@ class BatchIterator:
         self.prefetch = prefetch
         self.num_threads = max(1, num_threads)
         self._epoch = 0
+        self._pool = None  # lazy decode ThreadPoolExecutor
+
+    def _decode_pool(self):
+        if self._pool is None and self.num_threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            self._pool = ThreadPoolExecutor(
+                max_workers=self.num_threads,
+                thread_name_prefix='awseg-decode')
+        return self._pool
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -74,10 +96,24 @@ class BatchIterator:
         return batches
 
     def _collate(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
-        items = [self.dataset[int(i)] for i in idx]
+        ds = self.dataset
+        pool = self._decode_pool()
+        if (pool is not None and hasattr(ds, 'load_arrays')
+                and hasattr(ds, 'finish_item')):
+            # Parallel decode (RNG-free, releases the GIL in cv2/native
+            # decode), then the RNG tail sequentially in index order — the
+            # sample stream is bit-identical to the single-threaded path.
+            # Replaces the reference's DataLoader(num_workers=4) worker
+            # processes (loader.py:394, :412-420).
+            decoded = list(pool.map(ds.load_arrays, (int(i) for i in idx)))
+            items = [ds.finish_item(int(i), im, lb)
+                     for i, (im, lb) in zip(idx, decoded)]
+        else:
+            items = [ds[int(i)] for i in idx]
         return {
-            'image': np.stack([it['image'] for it in items]),
-            'label': np.stack([it['label'] for it in items]).astype(np.int32),
+            'image': _stack([it['image'] for it in items], self.num_threads),
+            'label': _stack([np.asarray(it['label'], np.int32)
+                             for it in items], self.num_threads),
             'weather_id': np.asarray([it['weather_id'] for it in items], np.int32),
             'weather_condition': [it['weather_condition'] for it in items],
             'sample_id': idx.astype(np.int32),

@@ -136,6 +136,82 @@ class TestBatchIterator:
         assert e1 != e2
 
 
+class TestParallelDecode:
+    def _png_tree(self, tmp_path, n=6, hw=(32, 48)):
+        import cv2
+        img_dir = tmp_path / 'cityscapes/leftImg8bit/train/cityA'
+        lbl_dir = tmp_path / 'cityscapes/gtFine/train/cityA'
+        img_dir.mkdir(parents=True)
+        lbl_dir.mkdir(parents=True)
+        rng = np.random.default_rng(0)
+        for i in range(n):
+            img = rng.integers(0, 255, (*hw, 3), dtype=np.uint8)
+            lbl = rng.integers(0, 19, hw).astype(np.uint8)
+            cv2.imwrite(str(img_dir / f'f{i}_leftImg8bit.png'), img)
+            cv2.imwrite(str(lbl_dir / f'f{i}_gtFine_labelIds.png'), lbl)
+        return str(tmp_path)
+
+    def test_threaded_collate_bit_identical_to_sequential(self, tmp_path):
+        """num_threads>1 must not change the sample stream: the RNG tail
+        (weather picks, synthetic fallbacks) runs sequentially in index
+        order (VERDICT r2 missing #1)."""
+        root = self._png_tree(tmp_path)
+
+        def batches(threads):
+            ds = CityscapesKITTIDataset(root, split='train',
+                                        image_size=(32, 48), seed=5)
+            it = BatchIterator(ds, batch_size=3, shuffle=False,
+                               num_threads=threads)
+            return list(it)
+
+        seq = batches(1)
+        par = batches(4)
+        assert len(seq) == len(par)
+        for a, b in zip(seq, par):
+            np.testing.assert_array_equal(a['image'], b['image'])
+            np.testing.assert_array_equal(a['label'], b['label'])
+            np.testing.assert_array_equal(a['weather_id'], b['weather_id'])
+
+    def test_threaded_collate_identical_on_synthetic(self,
+                                                     synthetic_dataset_dir):
+        """Synthetic fallback draws stay in the sequential RNG tail."""
+        def batches(threads):
+            ds = CityscapesKITTIDataset(synthetic_dataset_dir, split='val',
+                                        image_size=(24, 32), seed=9)
+            return list(BatchIterator(ds, batch_size=4, shuffle=False,
+                                      num_threads=threads))
+
+        for a, b in zip(batches(1), batches(4)):
+            np.testing.assert_array_equal(a['image'], b['image'])
+            np.testing.assert_array_equal(a['weather_id'], b['weather_id'])
+
+    def test_decoded_cache_roundtrip(self, tmp_path):
+        """Second epoch serves bit-identical arrays from the raw cache."""
+        root = self._png_tree(tmp_path, n=4)
+        cache = tmp_path / 'cache'
+        ds = CityscapesKITTIDataset(root, split='train', image_size=(32, 48),
+                                    seed=3, decoded_cache=str(cache))
+        first = [ds.load_arrays(i) for i in range(len(ds))]
+        assert ds._cache is not None
+        assert int(ds._cache['present'][:].sum()) == len(ds)
+        second = [ds.load_arrays(i) for i in range(len(ds))]
+        for (im1, lb1), (im2, lb2) in zip(first, second):
+            np.testing.assert_array_equal(im1, im2)
+            np.testing.assert_array_equal(lb1, lb2)
+        assert any(cache.iterdir())
+
+    def test_native_pack_matches_np_stack(self):
+        from awsegbench import native as _native
+        if not _native.available():
+            import pytest
+            pytest.skip('native lib unavailable')
+        rng = np.random.default_rng(1)
+        items = [rng.integers(0, 255, (16, 24, 3), dtype=np.uint8)
+                 for _ in range(5)]
+        out = _native.pack_batch(items, n_threads=3)
+        np.testing.assert_array_equal(out, np.stack(items))
+
+
 class TestPrepareBatch:
     def test_output_contract(self, tiny_batch):
         keys = per_sample_keys(jax.random.PRNGKey(0),
