@@ -50,8 +50,14 @@ BN_MOMENTUM = 0.9
 BN_EPS = 1e-5
 
 
+def _env_flag(name: str) -> bool:
+    """Conventional truthiness: '', '0', 'false', 'no' (any case) = unset."""
+    return os.environ.get(name, '').strip().lower() not in (
+        '', '0', 'false', 'no')
+
+
 def _pallas_heads_enabled() -> bool:
-    if os.environ.get('AWSEG_DISABLE_PALLAS_HEADS'):
+    if _env_flag('AWSEG_DISABLE_PALLAS_HEADS'):
         return False
     return pallas_heads_available()
 
@@ -186,7 +192,7 @@ class DepthEstimationHead(nn.Module):
                       and self.out_channels == 1
                       and not self.is_initializing()
                       and _pallas_heads_enabled()
-                      and bool(os.environ.get('AWSEG_PALLAS_DEPTH_HEAD')))
+                      and _env_flag('AWSEG_PALLAS_DEPTH_HEAD'))
         if use_pallas:
             s0, o0, m0, v0 = bn0(None, features=c1)
             s1, o1, m1, v1 = bn1(None, features=c2)

@@ -235,8 +235,16 @@ class AdverseWeatherTrainer:
         if ds is not None and hasattr(ds, 'image_size'):
             return tuple(ds.image_size)
         if ds is not None:
-            try:  # peek one sample without consuming the loader
-                return ds[0]['image'].shape[:2]
+            try:  # peek one sample without consuming the loader; snapshot
+                # the dataset RNG so the peek doesn't perturb epoch-0
+                # sampling (weather choice + synthetic draws)
+                rng = getattr(ds, '_rng', None)
+                rng_state = rng.bit_generator.state if rng is not None else None
+                try:
+                    return ds[0]['image'].shape[:2]
+                finally:
+                    if rng_state is not None:
+                        rng.bit_generator.state = rng_state
             except Exception:
                 pass
         # Last resort: consume one batch, then rewind the iterator's epoch

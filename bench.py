@@ -146,15 +146,24 @@ def measure_tpu_eval(head_mode: str) -> float:
     return n_measure * batch / elapsed
 
 
+_TRANSIENT_MARKERS = ('DEADLINE_EXCEEDED', 'UNAVAILABLE', 'INTERNAL',
+                      '500', 'Connection', 'Socket', 'RESOURCE_EXHAUSTED: '
+                      'Attempting to reserve')
+
+
 def _measure_with_retry(head_mode: str, attempts: int = 2) -> float:
     # the tunneled dev backend's remote-compile helper occasionally 500s;
-    # one retry protects the recorded benchmark artifact
+    # one retry (transient errors only) protects the benchmark artifact.
+    # Deterministic failures (shape errors, true OOM) surface immediately.
     for i in range(attempts):
         try:
             return measure_tpu_eval(head_mode)
-        except Exception:
-            if i == attempts - 1:
+        except Exception as e:
+            transient = any(m in str(e) for m in _TRANSIENT_MARKERS)
+            if i == attempts - 1 or not transient:
                 raise
+            print(f"bench: transient failure, retrying in 20s: {e!r}",
+                  file=sys.stderr)
             time.sleep(20)
 
 
