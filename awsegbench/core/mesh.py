@@ -97,6 +97,88 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def has_model_axis(mesh: Mesh) -> bool:
+    return MODEL_AXIS in mesh.axis_names and mesh.shape[MODEL_AXIS] > 1
+
+
+def tp_param_shardings(params: Any, mesh: Mesh,
+                       min_features: int = 64) -> Any:
+    """Tensor-parallel NamedShardings for a parameter tree.
+
+    The model axis's consumer (SURVEY.md §2.2 TP hook): every Dense/Conv
+    ``kernel`` whose output-feature (last) axis is divisible by the model
+    axis size and ≥ ``min_features`` is sharded ``P(..., 'model')``; its
+    ``bias`` follows on its feature axis. Everything else (norm scales,
+    tiny heads, scalars) stays replicated. Activations pick up the channel
+    sharding through GSPMD propagation and XLA inserts the collectives —
+    the idiomatic jax TP: annotate weights, let the partitioner do the
+    rest. Memory per device for the sharded kernels drops by the model
+    size; numerics are unchanged (same program, partitioned).
+
+    Returns a PyTree of NamedShardings matching ``params``.
+    """
+    m = mesh.shape[MODEL_AXIS]
+    rep = NamedSharding(mesh, P())
+
+    def rule(path, leaf):
+        names = [getattr(k, 'key', getattr(k, 'name', '')) for k in path]
+        last = names[-1] if names else ''
+        shape = getattr(leaf, 'shape', ())
+        if not shape:
+            return rep
+        out_f = shape[-1]
+        shardable = out_f % m == 0 and out_f >= min_features
+        if last == 'kernel' and len(shape) >= 2 and shardable:
+            return NamedSharding(
+                mesh, P(*([None] * (len(shape) - 1) + [MODEL_AXIS])))
+        if last in ('bias', 'scale') and len(shape) == 1 and shardable:
+            # follow the producing kernel's output sharding
+            return NamedSharding(mesh, P(MODEL_AXIS))
+        return rep
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def _key_str(k) -> str:
+    return str(getattr(k, 'key', getattr(k, 'name', getattr(k, 'idx', k))))
+
+
+def opt_state_shardings(opt_state: Any, params: Any, param_sh: Any,
+                        mesh: Mesh) -> Any:
+    """Shardings for an optax state tree: leaves that mirror a parameter
+    (Adam mu/nu etc. — identified by path suffix + shape) take that
+    parameter's sharding; counts/hyperparams stay replicated. Needed
+    because plain jit propagation is free to replicate an unconstrained
+    zeros_like output."""
+    rep = replicated_sharding(mesh)
+    pmap = {}
+    pleaves = jax.tree_util.tree_flatten_with_path(params)[0]
+    sleaves = jax.tree_util.tree_flatten_with_path(param_sh)[0]
+    for (path, leaf), (_, sh) in zip(pleaves, sleaves):
+        pmap[tuple(_key_str(k) for k in path)] = (
+            getattr(leaf, 'shape', None), sh)
+
+    def rule(path, leaf):
+        keys = tuple(_key_str(k) for k in path)
+        shape = getattr(leaf, 'shape', None)
+        for start in range(len(keys)):
+            hit = pmap.get(keys[start:])
+            if hit is not None and hit[0] == shape:
+                return hit[1]
+        return rep
+
+    return jax.tree_util.tree_map_with_path(rule, opt_state)
+
+
+def param_shardings(params: Any, mesh: Mesh) -> Any:
+    """Replicated shardings for a 1-D mesh; TP shardings when the mesh has
+    a >1-sized model axis."""
+    if has_model_axis(mesh):
+        return tp_param_shardings(params, mesh)
+    rep = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda _: rep, params)
+
+
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """Place a host-side batch PyTree onto the mesh, sharded on the batch axis.
 

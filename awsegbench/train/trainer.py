@@ -34,8 +34,9 @@ import jax.numpy as jnp
 import numpy as np
 from flax.training import train_state
 
-from ..core.mesh import (batch_sharding, create_mesh,
-                         replicated_sharding)
+from ..core.mesh import (batch_sharding, create_mesh, has_model_axis,
+                         opt_state_shardings, replicated_sharding,
+                         tp_param_shardings)
 from ..core.precision import get_policy
 from ..core.prng import RngStreams, per_sample_keys
 from ..data.pipeline import prepare_batch
@@ -261,14 +262,36 @@ class AdverseWeatherTrainer:
         variables = init_model_variables(self.model, self.config,
                                          self.rngs.key('params'),
                                          (1, h, w, 3))
-        state = TrainState.create(
-            apply_fn=self.model.apply,
-            params=variables['params'],
-            batch_stats=variables.get('batch_stats', {}),
-            tx=self.tx)
-        # replicate across the mesh
         rep = replicated_sharding(self.mesh)
-        return jax.device_put(state, rep)
+        if not has_model_axis(self.mesh):
+            state = TrainState.create(
+                apply_fn=self.model.apply,
+                params=variables['params'],
+                batch_stats=variables.get('batch_stats', {}),
+                tx=self.tx)
+            return jax.device_put(state, rep)
+
+        # 2-D (data × model) mesh: tensor-parallel param sharding. Kernels
+        # shard their output-feature axis over MODEL_AXIS (core/mesh.py);
+        # optimizer state inherits the layout through jit propagation
+        # (zeros_like keeps its argument's sharding), so Adam moments shard
+        # with their parameters.
+        tp_min = (self.config.get('tpu') or {}).get('tp_min_features', 64)
+        ps = tp_param_shardings(variables['params'], self.mesh,
+                                min_features=tp_min)
+        params = jax.device_put(variables['params'], ps)
+        opt_host = self.tx.init(variables['params'])
+        opt_state = jax.device_put(
+            opt_host, opt_state_shardings(opt_host, variables['params'],
+                                          ps, self.mesh))
+        return TrainState(
+            step=jax.device_put(jnp.zeros((), jnp.int32), rep),
+            apply_fn=self.model.apply,
+            params=params,
+            tx=self.tx,
+            opt_state=opt_state,
+            batch_stats=jax.device_put(
+                variables.get('batch_stats', {}), rep))
 
     # ------------------------------------------------------------- jit builds
 
@@ -341,10 +364,14 @@ class AdverseWeatherTrainer:
 
         rep = replicated_sharding(self.mesh)
         data = batch_sharding(self.mesh)
+        # TP meshes: the state's sharding is heterogeneous (kernels on the
+        # model axis) — leave it unspecified so jit infers it from the
+        # committed arrays and preserves it through the update
+        st = None if has_model_axis(self.mesh) else rep
         return jax.jit(step,
-                       in_shardings=(rep, data, data, data, data, data, rep,
+                       in_shardings=(st, data, data, data, data, data, rep,
                                      rep),
-                       out_shardings=(rep, rep, rep),
+                       out_shardings=(st, rep, rep),
                        donate_argnums=(0, 7))
 
     def _build_eval_step(self):
@@ -391,8 +418,9 @@ class AdverseWeatherTrainer:
 
         rep = replicated_sharding(self.mesh)
         data = batch_sharding(self.mesh)
+        st = None if has_model_axis(self.mesh) else rep
         return jax.jit(step,
-                       in_shardings=(rep, data, data, data, data, data, rep, rep),
+                       in_shardings=(st, data, data, data, data, data, rep, rep),
                        out_shardings=rep,
                        donate_argnums=(7,))
 
@@ -426,17 +454,43 @@ class AdverseWeatherTrainer:
     def _device_batches(self, loader):
         """Pad + asynchronously place batches on the mesh one step ahead so
         host→device transfer overlaps compute (pipeline.prefetch_to_device).
-        Yields (device_args_tuple, original_batch_size)."""
+        Yields (device_args_tuple, original_batch_size).
+
+        Multi-process (multi-host) runs: each process's loader yields only
+        its row-slice of the global batch (pipeline.BatchIterator
+        process sharding); ``jax.make_array_from_process_local_data``
+        assembles the global sharded array — no host ever materializes the
+        full batch (SURVEY §2.2 'data input sharded per-host').
+        """
         from ..data.pipeline import prefetch_to_device
         data = batch_sharding(self.mesh)
+        n_proc = jax.process_count()
 
         def place(batch):
             bsz = batch['image'].shape[0]
-            padded, mask = self._pad_batch(batch)
-            args = tuple(jax.device_put(padded[k], data)
+            if n_proc > 1:
+                # pad the LOCAL slice to a multiple of the local device
+                # count (global batch then divides the full mesh); padded
+                # rows are masked out of the loss/metrics as usual
+                local = jax.local_device_count()
+                pad = (-bsz) % local
+                mask = np.ones((bsz + pad,), dtype=bool)
+                if pad:
+                    mask[bsz:] = False
+                    batch = {k: (np.pad(v, [(0, pad)] + [(0, 0)] *
+                                        (v.ndim - 1), mode='edge')
+                                 if isinstance(v, np.ndarray) else v)
+                             for k, v in batch.items()}
+
+                def put(x):
+                    return jax.make_array_from_process_local_data(data, x)
+                bsz = bsz * n_proc  # loaders slice the global batch evenly
+            else:
+                batch, mask = self._pad_batch(batch)
+                put = lambda x: jax.device_put(x, data)  # noqa: E731
+            args = tuple(put(np.asarray(batch[k]))
                          for k in ('image', 'label', 'weather_id',
-                                   'sample_id')) + (
-                jax.device_put(mask, data),)
+                                   'sample_id')) + (put(mask),)
             return args, bsz
 
         yield from prefetch_to_device(loader, place, lookahead=1)
@@ -644,8 +698,21 @@ class AdverseWeatherTrainer:
             step=int(model_tree['step']))
         if opt_tree is not None:
             self.state = self.state.replace(opt_state=opt_tree['opt_state'])
-        self.state = jax.device_put(self.state,
-                                    replicated_sharding(self.mesh))
+        if has_model_axis(self.mesh):
+            tp_min = (self.config.get('tpu') or {}).get('tp_min_features', 64)
+            ps = tp_param_shardings(self.state.params, self.mesh,
+                                    min_features=tp_min)
+            params = jax.device_put(self.state.params, ps)
+            opt_sh = opt_state_shardings(self.state.opt_state,
+                                         self.state.params, ps, self.mesh)
+            rep = replicated_sharding(self.mesh)
+            self.state = self.state.replace(
+                params=params,
+                opt_state=jax.device_put(self.state.opt_state, opt_sh),
+                batch_stats=jax.device_put(self.state.batch_stats, rep))
+        else:
+            self.state = jax.device_put(self.state,
+                                        replicated_sharding(self.mesh))
         self.current_epoch = int(model_tree['epoch'])
         if self.scheduler and meta.get('metrics', {}).get('scheduler'):
             self.scheduler.load_state_dict(meta['metrics']['scheduler'])
