@@ -56,7 +56,8 @@ class BatchIterator:
 
     def __init__(self, dataset, batch_size: int = 8, shuffle: bool = True,
                  seed: int = 0, drop_last: Optional[bool] = None,
-                 prefetch: int = 2, num_threads: int = 4) -> None:
+                 prefetch: int = 2, num_threads: int = 4,
+                 process_index: int = 0, process_count: int = 1) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -64,6 +65,24 @@ class BatchIterator:
         self.drop_last = shuffle if drop_last is None else drop_last
         self.prefetch = prefetch
         self.num_threads = max(1, num_threads)
+        # Multi-host data input sharding (SURVEY §2.2): every process
+        # builds the same global shuffle (shared seed), then loads only its
+        # contiguous row-slice of each global batch — the slice that
+        # jax.make_array_from_process_local_data expects for a batch
+        # sharded over a process-major device order. batch_size stays the
+        # GLOBAL batch size.
+        self.process_index = process_index
+        self.process_count = max(1, process_count)
+        if self.process_count > 1:
+            if batch_size % self.process_count:
+                raise ValueError(
+                    f'global batch_size {batch_size} must divide over '
+                    f'{self.process_count} processes')
+            if not self.drop_last and len(dataset) % batch_size:
+                raise ValueError(
+                    'process-sharded loading requires drop_last=True or a '
+                    'dataset length divisible by the global batch size '
+                    '(uneven final batches cannot shard across hosts)')
         self._epoch = 0
         self._pool = None  # lazy decode ThreadPoolExecutor
 
@@ -92,6 +111,10 @@ class BatchIterator:
             idx = order[start:start + self.batch_size]
             if len(idx) < self.batch_size and self.drop_last:
                 continue
+            if self.process_count > 1:
+                local = len(idx) // self.process_count
+                idx = idx[self.process_index * local:
+                          (self.process_index + 1) * local]
             batches.append(idx)
         return batches
 
@@ -164,7 +187,18 @@ def create_dataloader(dataset, batch_size: int = 8, shuffle: bool = True,
 
     ``pin_memory`` is accepted for drop-in compatibility and ignored — JAX
     manages host→device transfer; ``drop_last`` defaults to ``shuffle``.
+    Under multi-process JAX (multi-host training) the loader automatically
+    shards each global batch per process unless ``process_count`` is
+    passed explicitly.
     """
+    if 'process_count' not in kwargs:
+        import jax as _jax
+        try:
+            if _jax.process_count() > 1:
+                kwargs['process_index'] = _jax.process_index()
+                kwargs['process_count'] = _jax.process_count()
+        except Exception:
+            pass
     return BatchIterator(dataset, batch_size=batch_size, shuffle=shuffle,
                          num_threads=num_workers,
                          drop_last=kwargs.pop('drop_last', None),
