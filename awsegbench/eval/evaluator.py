@@ -90,12 +90,14 @@ class Evaluator:
         # image's tile grid over the mesh instead of the batch axis.
         #  'auto' — tile when the image is ≥ 2048×1024 AND the mesh has >1
         #           device; 'on'/'off' force it. tile_size 'auto' picks a
-        #           near-square n_devices grid. The halo default (128 px)
-        #           covers the dominant conv receptive fields at os16; the
-        #           globally-coupled ops (SR attention, ASPP image pooling)
-        #           make tiling approximate near tile seams — use the
-        #           monolithic path when bit-parity with the single-chip
-        #           result is required.
+        #           near-square n_devices grid. Tiled inference is EXACT
+        #           (f32-rounding) vs the monolithic forward for the
+        #           product model families: SR attention gathers the
+        #           full-image KV, ASPP runs on the assembled full map, and
+        #           per-stage halo resyncs keep every segment's local
+        #           receptive radius (≤ ~96 px for B0/R50) inside the
+        #           default 128 px halo (parallel/collectives.TileInfo;
+        #           tests/test_parallel.py tiled-vs-monolithic ensemble).
         eval_cfg = cfg.get('evaluation') or {}
         self.spatial_tiling = eval_cfg.get('spatial_tiling', 'auto')
         self.tile_size = eval_cfg.get('tile_size', 'auto')

@@ -284,26 +284,31 @@ def _depth_kernel(ayx_ref, pp_ref, a1_ref, c1_ref, w2blk_ref, a2_ref,
                    preferred_element_type=f32)            # [re·re, chunk·C]
     hidden = jnp.maximum(fine * a1_ref[0][None, :]
                          + c1_ref[0][None, :], 0.0).astype(mm_dtype)
-    hidden = hidden.reshape(re, re, chunk * c1)           # [pe, qe, cellC]
 
-    # conv2 3×3 c1→c2 for ALL cells at once: each cell's channels live in
-    # their own lane block, contracted against block-diagonal weights —
-    # one clean [r², chunk·C]×[chunk·C, chunk·c2] matmul per tap.
-    acc = jnp.zeros((r * r, chunk * c2), f32)
-    for tx in range(3):
-        h_tx = hidden[:, tx:tx + r, :]                    # [re, r, cellC]
-        for ty in range(3):
-            sl = h_tx[ty:ty + r].reshape(r * r, chunk * c1)
-            acc = acc + jnp.dot(sl, w2blk_ref[ty, tx].astype(mm_dtype),
+    # conv2 3×3 c1→c2 for ALL cells at once, keeping the [re·re, chunk·C]
+    # row-major flat layout: tap (ty, tx) is a sublane ROLL by ty·re + tx
+    # (q + tx ≤ re−1, so flat indices never wrap across a row), one
+    # [re², chunk·C]×[chunk·C, chunk·c2] block-diagonal matmul per tap.
+    # The round-2 variant sliced shifted [re, r] windows instead, whose
+    # VMEM relayouts made the kernel lose to the XLA path (24.7 vs
+    # 18.5 ms at [8,512,1024]); rolls keep the layout fixed at ~13% extra
+    # matmul rows (re²/r²).
+    acc = jnp.zeros((re * re, chunk * c2), f32)
+    for ty in range(3):
+        for tx in range(3):
+            shifted = pltpu.roll(hidden, (re * re - ty * re - tx) % (re * re),
+                                 0)
+            acc = acc + jnp.dot(shifted, w2blk_ref[ty, tx].astype(mm_dtype),
                                 preferred_element_type=f32)
     h2 = jnp.maximum(acc * a2_ref[0][None, :]
                      + c2_ref[0][None, :], 0.0)
     depth = jnp.dot(h2.astype(mm_dtype), wpblk_ref[:].astype(mm_dtype),
-                    preferred_element_type=f32)           # [r·r, chunk]
+                    preferred_element_type=f32)           # [re·re, chunk]
     depth = jax.nn.sigmoid(depth + bp_ref[0][None, :])
+    depth = depth.reshape(re, re, chunk)[:r, :r]          # valid window
     for cell in range(chunk):
         out_ref[0, :, cell * r:(cell + 1) * r, :] = (
-            depth[:, cell:cell + 1].reshape(r, r, 1).astype(out_ref.dtype))
+            depth[:, :, cell:cell + 1].astype(out_ref.dtype))
 
 
 def depth_head_fused(f: jax.Array,

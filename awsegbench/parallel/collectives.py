@@ -5,15 +5,16 @@ is the TPU-native communication layer:
 
 * ``psum_tree`` / ``all_gather_batch`` — thin shard_map-level wrappers over
   XLA collectives for metric PyTrees and result gathering.
-* ``spatial_tiles`` / ``stitch_tiles`` — the image-domain analog of context
-  parallelism (SURVEY.md §5): a full-res image is split into overlapping
-  tiles with a halo margin, tiles are batched over the mesh's data axis,
-  and per-tile logits are cropped + stitched. With a halo ≥ the network's
-  effective receptive-field radius the stitched result matches the
-  monolithic forward for conv paths; globally-coupled ops (SegFormer's SR
-  attention, ASPP image pooling) make tiling approximate near boundaries —
-  use the monolithic path when exact parity is required (it fits one chip
-  at 2048×1024 bf16).
+* ``spatial_tiles`` / ``stitch_tiles`` / ``TileInfo`` — the image-domain
+  analog of context parallelism (SURVEY.md §5): a full-res image is split
+  into overlapping tiles with a halo margin, tiles are batched over the
+  mesh's data axis, and per-tile logits are cropped + stitched. Tiling is
+  EXACT (to f32 rounding) vs the monolithic forward: conv segments consume
+  halo between per-stage ``TileInfo.resync`` halo exchanges, SR attention
+  gathers K/V from the assembled full-image map, and ASPP runs on the
+  assembled os16 map (its rate-36 atrous reach exceeds any feasible halo).
+  Required: halo ≥ the largest per-segment local receptive radius
+  (~96 input px for B0/R50 with per-stage resyncs; default halo 128).
 """
 
 from __future__ import annotations

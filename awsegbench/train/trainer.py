@@ -25,6 +25,7 @@ the nested ``training`` section, which the reference silently ignores).
 from __future__ import annotations
 
 import logging
+import sys
 import time
 from pathlib import Path
 from typing import Any, Dict, Optional
@@ -64,6 +65,11 @@ try:  # MLflow optional, like trainer.py:17-24
 except ImportError:
     MLFLOW_AVAILABLE = False
     mlflow = None
+
+try:  # tqdm in-epoch progress, like trainer.py:295,399
+    from tqdm import tqdm as _tqdm
+except ImportError:  # pragma: no cover
+    _tqdm = None
 
 
 class TrainState(train_state.TrainState):
@@ -495,6 +501,22 @@ class AdverseWeatherTrainer:
 
         yield from prefetch_to_device(loader, place, lookahead=1)
 
+    def _progress(self, iterable, desc: str, total=None):
+        """tqdm-style in-epoch progress (reference trainer.py:295,399).
+
+        Enabled by ``logging.progress_bar`` (default: only on a tty, so
+        logs/CI stay clean). Postfix values are updated only when metrics
+        are fetched anyway (the tb_interval cadence) — per-step fetches
+        would stall the dispatch pipeline.
+        """
+        enabled = (self.config.get('logging') or {}).get(
+            'progress_bar', sys.stderr.isatty())
+        if not enabled or _tqdm is None:
+            return iterable, None
+        bar = _tqdm(iterable, desc=desc, total=total, unit='batch',
+                    leave=False)
+        return bar, bar
+
     # ------------------------------------------------------------ public API
 
     def train_epoch(self) -> Dict[str, float]:
@@ -514,21 +536,35 @@ class AdverseWeatherTrainer:
         tb_interval = (self.config.get('logging') or {}).get(
             'tb_interval_steps', 10)
 
-        for args, bsz in self._device_batches(self.train_loader):
+        try:
+            total = len(self.train_loader)
+        except TypeError:
+            total = None
+        batches, bar = self._progress(
+            self._device_batches(self.train_loader),
+            f'Epoch {self.current_epoch + 1}/{self.epochs}', total)
+        for args, bsz in batches:
             step_key = self.rngs.fold('weather', self.global_step)
             self.state, metrics, metric_sums = self._train_step(
                 self.state, *args, step_key, metric_sums)
 
-            if self.writer and self.global_step % tb_interval == 0:
+            if self.global_step % tb_interval == 0 and (self.writer or bar):
                 m = jax.device_get(metrics)
-                self.writer.add_scalar('Train/Loss', float(m['loss']),
-                                       self.global_step)
-                self.writer.add_scalar('Train/SegLoss', float(m['seg_loss']),
-                                       self.global_step)
-                self.writer.add_scalar('Train/LR', lr, self.global_step)
+                if self.writer:
+                    self.writer.add_scalar('Train/Loss', float(m['loss']),
+                                           self.global_step)
+                    self.writer.add_scalar('Train/SegLoss',
+                                           float(m['seg_loss']),
+                                           self.global_step)
+                    self.writer.add_scalar('Train/LR', lr, self.global_step)
+                if bar:
+                    bar.set_postfix(loss=f"{float(m['loss']):.4f}",
+                                    lr=f'{lr:.2e}')
 
             meter.update(bsz)
             self.global_step += 1
+        if bar:
+            bar.close()
 
         sums = np.asarray(metric_sums)  # single host fetch = sync barrier
         meter.stop()
@@ -556,9 +592,17 @@ class AdverseWeatherTrainer:
         acc = jax.device_put(acc, replicated_sharding(self.mesh))
 
         step_offset = 1_000_000_000 + self.current_epoch * 1_000_000
-        for i, (args, _bsz) in enumerate(self._device_batches(self.val_loader)):
+        try:
+            total = len(self.val_loader)
+        except TypeError:
+            total = None
+        batches, bar = self._progress(
+            self._device_batches(self.val_loader), 'Validation', total)
+        for i, (args, _bsz) in enumerate(batches):
             step_key = self.rngs.fold('weather', step_offset + i)
             acc = self._eval_step(self.state, *args, step_key, acc)
+        if bar:
+            bar.close()
 
         acc = jax.device_get(acc)  # single host fetch = sync barrier
         sums = np.asarray(acc['sums'])

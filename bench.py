@@ -58,63 +58,89 @@ def reference_baseline() -> dict:
     return d
 
 
-def measure_tpu_eval(head_mode: str) -> float:
+# bf16 peak of one TPU v5e chip (MXU); used for the MFU estimate
+PEAK_FLOPS_BF16 = 197e12
+
+
+def _compiled_flops(compiled) -> float:
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get('flops', 0.0))
+    except Exception:
+        return 0.0
+
+
+def _jax_setup():
     import jax
     # persistent compile cache: tunnel-backend compiles take minutes; cache
     # them across processes so repeat bench runs start hot
     jax.config.update('jax_compilation_cache_dir', '/root/.jax_compile_cache')
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
-    import jax.numpy as jnp
-    import numpy as np
+    return jax
 
-    from awsegbench.core.prng import per_sample_keys
+
+def _cast_bf16(t):
+    import jax
+    import jax.numpy as jnp
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, 'dtype') and jnp.issubdtype(x.dtype, jnp.floating)
+        else x, t)
+
+
+_EVAL_CACHE = {}
+
+
+def build_eval(head_mode: str):
+    """Compiled eval step + bf16 variables for a head mode (cached)."""
+    if head_mode in _EVAL_CACHE:
+        return _EVAL_CACHE[head_mode]
+    jax = _jax_setup()
+    import jax.numpy as jnp
+
     from awsegbench.data.pipeline import prepare_batch
     from awsegbench.metrics.iou import confusion_matrix
     from awsegbench.models import EnsembleModel, init_model
-
-    batch = BATCH[head_mode]
-    n_measure = MEASURE_BATCHES[head_mode]
 
     model = EnsembleModel(num_classes=19, include_depth=True,
                           head_mode=head_mode)
     h, w = IMAGE_HW
     variables = init_model(model, jax.random.PRNGKey(0), (1, h, w, 3))
+    variables_bf16 = {'params': _cast_bf16(variables['params']),
+                      'batch_stats': _cast_bf16(
+                          variables.get('batch_stats', {}))}
 
-    # bf16 compute
-    def cast(t):
-        return jax.tree_util.tree_map(
-            lambda x: x.astype(jnp.bfloat16)
-            if hasattr(x, 'dtype') and jnp.issubdtype(x.dtype, jnp.floating)
-            else x, t)
-    variables_bf16 = {'params': cast(variables['params']),
-                      'batch_stats': cast(variables.get('batch_stats', {}))}
-
-    def eval_step(variables, images_u8, labels, weather_ids, keys, cm):
+    def eval_step(variables, images_u8, labels, weather_ids, keys, acc):
         # Full reference eval workload: corrupt + depth-estimate + normalize
-        # + both member forwards + argmax + confusion accumulate. Note: the
-        # model's depth-head outputs are unused by the segmentation metrics,
-        # so XLA dead-code-eliminates them inside the jitted step — the
-        # torch reference computes them eagerly and pays for them. This is
-        # a legitimate whole-program-compilation benefit, disclosed here.
+        # + both member forwards (segmentation AND depth heads) + argmax +
+        # confusion accumulate. The depth outputs are folded into the
+        # accumulator so XLA cannot dead-code-eliminate them — the torch
+        # reference computes them eagerly, so the headline pays for them
+        # too (round-2 advisor finding).
+        cm, dsum = acc
         prep = prepare_batch(images_u8, labels, weather_ids, keys,
                              train=False, include_depth=True)
         x = prep['image'].astype(jnp.bfloat16)
         out = model.apply(variables, x, train=False)
         preds = jnp.argmax(out['segmentation'].astype(jnp.float32), axis=-1)
-        return cm + confusion_matrix(preds, labels, 19)
+        return (cm + confusion_matrix(preds, labels, 19),
+                dsum + out['depth'].astype(jnp.float32).sum())
 
     step = jax.jit(eval_step, donate_argnums=(5,))
+    _EVAL_CACHE[head_mode] = (step, variables_bf16, model)
+    return _EVAL_CACHE[head_mode]
 
-    # Timing methodology: inputs are placed on device up front (a production
-    # input pipeline overlaps host transfers with compute; on this dev setup
-    # the host link is a network tunnel whose transfer cost is an artifact),
-    # the measured steps are chained through the donated confusion-matrix
-    # carry, and the FINAL ACCUMULATOR VALUE is fetched to host — fetching a
-    # value is the only reliable completion barrier on remote-tunnel
-    # backends where block_until_ready can return at enqueue time.
-    rng = np.random.default_rng(0)
-    key = jax.random.PRNGKey(0)
-    n = 2  # distinct batches, cycled — bounds tunnel transfer volume
+
+def _device_batches(batch, n, seed=0):
+    jax = _jax_setup()
+    import jax.numpy as jnp
+    import numpy as np
+    from awsegbench.core.prng import per_sample_keys
+    h, w = IMAGE_HW
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
     batches = []
     for i in range(n):
         batches.append({
@@ -128,22 +154,210 @@ def measure_tpu_eval(head_mode: str) -> float:
                 jax.random.fold_in(key, i),
                 jnp.arange(batch, dtype=jnp.int32))),
         })
-    cm = jnp.zeros((19, 19), jnp.float32)
+    return batches
+
+
+def measure_tpu_eval(head_mode: str):
+    """Returns (images_per_sec, mfu)."""
+    jax = _jax_setup()
+    import jax.numpy as jnp
+    import numpy as np
+
+    batch = BATCH[head_mode]
+    n_measure = MEASURE_BATCHES[head_mode]
+    step, variables_bf16, _ = build_eval(head_mode)
+
+    # Timing methodology: inputs are placed on device up front (a production
+    # input pipeline overlaps host transfers with compute; on this dev setup
+    # the host link is a network tunnel whose transfer cost is an artifact),
+    # the measured steps are chained through the donated accumulator carry,
+    # and the FINAL ACCUMULATOR VALUE is fetched to host — fetching a value
+    # is the only reliable completion barrier on remote-tunnel backends
+    # where block_until_ready can return at enqueue time.
+    batches = _device_batches(batch, 2)
+    acc = (jnp.zeros((19, 19), jnp.float32), jnp.zeros((), jnp.float32))
+
+    def args_of(b):
+        return (variables_bf16, b['image'], b['label'], b['weather_id'],
+                b['keys'])
+
+    flops = _compiled_flops(
+        step.lower(*args_of(batches[0]), acc).compile())
 
     for i in range(WARMUP_BATCHES):
-        b = batches[i % n]
-        cm = step(variables_bf16, b['image'], b['label'], b['weather_id'],
-                  b['keys'], cm)
-    np.asarray(cm)  # hard completion barrier
+        acc = step(*args_of(batches[i % 2]), acc)
+    np.asarray(acc[0])  # hard completion barrier
 
     t0 = time.perf_counter()
     for i in range(n_measure):
-        b = batches[i % n]
-        cm = step(variables_bf16, b['image'], b['label'], b['weather_id'],
-                  b['keys'], cm)
-    np.asarray(cm)  # hard completion barrier
+        acc = step(*args_of(batches[i % 2]), acc)
+    np.asarray(acc[0])  # hard completion barrier
     elapsed = time.perf_counter() - t0
-    return n_measure * batch / elapsed
+    sec_per_step = elapsed / n_measure
+    mfu = (flops / sec_per_step) / PEAK_FLOPS_BF16 if flops else 0.0
+    return n_measure * batch / elapsed, mfu
+
+
+TRAIN_BATCH = 8
+TRAIN_MEASURE = 6
+
+
+def measure_tpu_train():
+    """Full one-jit train step (corrupt+augment+fwd+bwd+clip+AdamW) on the
+    faithful ensemble at B8. Returns (images_per_sec, mfu)."""
+    jax = _jax_setup()
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from awsegbench.data.pipeline import prepare_batch
+    from awsegbench.losses.fog_density import FogDensityAwareLoss
+    from awsegbench.models import EnsembleModel, init_model
+    from awsegbench.train.trainer import fog_density_from_weather
+
+    h, w = IMAGE_HW
+    model = EnsembleModel(num_classes=19, include_depth=True,
+                          head_mode='faithful')
+    variables = init_model(model, jax.random.PRNGKey(0), (1, h, w, 3))
+    params = variables['params']
+    bstats = variables.get('batch_stats', {})
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-3))
+    opt_state = tx.init(params)
+    loss_fn = FogDensityAwareLoss()
+
+    def step(carry, image, label, weather_id, keys):
+        params, bstats, opt_state, i = carry
+        kk = jax.random.fold_in(jax.random.PRNGKey(2), i)
+        k_fog, k_aug, k_drop = jax.random.split(kk, 3)
+        prep = prepare_batch(image, label, weather_id, keys, aug_key=k_aug,
+                             train=True, include_depth=True)
+        fog = fog_density_from_weather(weather_id, k_fog, h, w)
+
+        def loss_of(p):
+            v = {'params': _cast_bf16(p), 'batch_stats': _cast_bf16(bstats)}
+            out, mut = model.apply(
+                v, prep['image'].astype(jnp.bfloat16), train=True,
+                rngs={'dropout': k_drop}, mutable=['batch_stats'])
+            out = {k: o.astype(jnp.float32) for k, o in out.items()}
+            new_bs = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.float32), mut['batch_stats'])
+            ld = loss_fn(out, {'label': prep['label'],
+                               'depth': prep['depth']}, fog)
+            return ld['total_loss'], new_bs
+
+        (loss, new_bs), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, new_bs, opt_state, i + 1)
+
+    f = jax.jit(step, donate_argnums=(0,))
+    batches = _device_batches(TRAIN_BATCH, 2, seed=1)
+    carry = (params, bstats, opt_state, jnp.zeros((), jnp.int32))
+
+    def args_of(b):
+        return (b['image'], b['label'], b['weather_id'], b['keys'])
+
+    flops = _compiled_flops(
+        f.lower(carry, *args_of(batches[0])).compile())
+
+    for i in range(WARMUP_BATCHES):
+        carry = f(carry, *args_of(batches[i % 2]))
+    np.asarray(carry[3])
+
+    t0 = time.perf_counter()
+    for i in range(TRAIN_MEASURE):
+        carry = f(carry, *args_of(batches[i % 2]))
+    np.asarray(carry[3])
+    elapsed = time.perf_counter() - t0
+    sec_per_step = elapsed / TRAIN_MEASURE
+    mfu = (flops / sec_per_step) / PEAK_FLOPS_BF16 if flops else 0.0
+    return TRAIN_MEASURE * TRAIN_BATCH / elapsed, mfu
+
+
+DISK_IMAGES = 96
+DISK_BATCH = 32   # matches the faithful tensor-fed batch → same program
+
+
+def ensure_disk_tree() -> Path:
+    """Synthetic Cityscapes-layout PNG tree for the disk-to-metrics bench
+    (street-scene-like smooth gradients + rectangles, so PNG size and
+    decode cost are realistic rather than incompressible noise)."""
+    root = REPO / '.bench_disk_data'
+    img_dir = root / 'cityscapes/leftImg8bit/val/benchcity'
+    lbl_dir = root / 'cityscapes/gtFine/val/benchcity'
+    done = root / '.complete'
+    if done.exists():
+        return root
+    import cv2
+    import numpy as np
+    img_dir.mkdir(parents=True, exist_ok=True)
+    lbl_dir.mkdir(parents=True, exist_ok=True)
+    h, w = IMAGE_HW
+    rng = np.random.default_rng(7)
+    yy = np.linspace(0, 1, h)[:, None]
+    xx = np.linspace(0, 1, w)[None, :]
+    for i in range(DISK_IMAGES):
+        sky = (180 - 120 * yy) * np.ones_like(xx)
+        img = np.stack([sky * c for c in (0.9, 0.95, 1.0)], -1)
+        for _ in range(30):  # buildings/cars as rectangles
+            y0, x0 = rng.integers(0, h - 64), rng.integers(0, w - 64)
+            hh, ww = rng.integers(32, 256, 2)
+            img[y0:y0 + hh, x0:x0 + ww] = rng.integers(30, 220, 3)
+        img += rng.normal(0, 6, img.shape)  # sensor noise
+        img = np.clip(img, 0, 255).astype(np.uint8)
+        lbl = (np.clip(yy * 33 + xx * 0, 0, 33)
+               * np.ones((h, w))).astype(np.uint8)
+        cv2.imwrite(str(img_dir / f'b{i:04d}_leftImg8bit.png'),
+                    img[..., ::-1])
+        cv2.imwrite(str(lbl_dir / f'b{i:04d}_gtFine_labelIds.png'), lbl)
+    done.touch()
+    return root
+
+
+def measure_disk_eval(raw_cache: bool) -> float:
+    """Disk → metrics throughput: real PNG tree (or the decoded-array raw
+    cache, the TFRecord-analog production path), threaded host decode,
+    prefetch overlap, the same compiled faithful eval step."""
+    jax = _jax_setup()
+    import jax.numpy as jnp
+    import numpy as np
+    from awsegbench.core.prng import per_sample_keys
+    from awsegbench.data import CityscapesKITTIDataset
+    from awsegbench.data.pipeline import BatchIterator, prefetch_to_device
+
+    root = ensure_disk_tree()
+    cache = str(REPO / '.bench_cache') if raw_cache else None
+    ds = CityscapesKITTIDataset(str(root), 'val', image_size=IMAGE_HW,
+                                seed=0, decoded_cache=cache)
+    assert len(ds) >= DISK_IMAGES, 'disk tree scan failed'
+    ds.samples = ds.samples[:DISK_IMAGES]
+    step, variables_bf16, _ = build_eval('faithful')
+    key = jax.random.PRNGKey(3)
+
+    def place(b):
+        i = int(b['sample_id'][0])
+        return (jax.device_put(b['image']),
+                jax.device_put(b['label']),
+                jax.device_put(b['weather_id']),
+                jax.device_put(per_sample_keys(
+                    jax.random.fold_in(key, i),
+                    jnp.asarray(b['sample_id']))))
+
+    def sweep():
+        loader = BatchIterator(ds, batch_size=DISK_BATCH, shuffle=False,
+                               num_threads=4)
+        acc = (jnp.zeros((19, 19), jnp.float32), jnp.zeros((), jnp.float32))
+        n = 0
+        t0 = time.perf_counter()
+        for args in prefetch_to_device(loader, place, lookahead=1):
+            acc = step(variables_bf16, *args, acc)
+            n += args[0].shape[0]
+        np.asarray(acc[0])  # completion barrier
+        return n / (time.perf_counter() - t0)
+
+    sweep()           # warmup: compile reuse + (raw mode) cache fill
+    return sweep()    # steady-state disk-to-metrics rate
 
 
 _TRANSIENT_MARKERS = ('DEADLINE_EXCEEDED', 'UNAVAILABLE', 'INTERNAL',
@@ -151,13 +365,13 @@ _TRANSIENT_MARKERS = ('DEADLINE_EXCEEDED', 'UNAVAILABLE', 'INTERNAL',
                       'Attempting to reserve')
 
 
-def _measure_with_retry(head_mode: str, attempts: int = 2) -> float:
+def _measure_with_retry(fn, attempts: int = 2):
     # the tunneled dev backend's remote-compile helper occasionally 500s;
     # one retry (transient errors only) protects the benchmark artifact.
     # Deterministic failures (shape errors, true OOM) surface immediately.
     for i in range(attempts):
         try:
-            return measure_tpu_eval(head_mode)
+            return fn()
         except Exception as e:
             transient = any(m in str(e) for m in _TRANSIENT_MARKERS)
             if i == attempts - 1 or not transient:
@@ -172,18 +386,40 @@ def main() -> None:
     ref_e2e = base['ref_e2e_images_per_sec']
     ref_pipe = base.get('ref_pipeline_images_per_sec',
                         base.get('ref_images_per_sec', ref_e2e))
-    faithful = _measure_with_retry('faithful')
-    fused = _measure_with_retry('fused')
+    faithful, faithful_mfu = _measure_with_retry(
+        lambda: measure_tpu_eval('faithful'))
+    fused, fused_mfu = _measure_with_retry(
+        lambda: measure_tpu_eval('fused'))
+    train_ips, train_mfu = _measure_with_retry(measure_tpu_train)
+    try:
+        disk_png = _measure_with_retry(lambda: measure_disk_eval(False))
+        disk_raw = _measure_with_retry(lambda: measure_disk_eval(True))
+    except Exception as e:  # disk bench is auxiliary — never sink the run
+        print(f"bench: disk mode failed: {e!r}", file=sys.stderr)
+        disk_png = disk_raw = None
     print(json.dumps({
         'metric': 'ensemble_4weather_eval_throughput',
         'value': round(faithful, 3),
         'unit': 'images/sec/chip @512x1024 B32 (head_mode=faithful, '
-                'reference-parity arch)',
+                'reference-parity arch, seg+depth outputs both consumed)',
         'vs_baseline': round(faithful / ref_e2e, 2),
+        'mfu': round(faithful_mfu, 4),
         'fused_value': round(fused, 3),
         'fused_vs_baseline': round(fused / ref_e2e, 2),
+        'fused_mfu': round(fused_mfu, 4),
+        'train_value': round(train_ips, 3),
+        'train_unit': 'images/sec/chip @512x1024 B8 one-jit train step '
+                      '(corrupt+augment+fwd+bwd+clip+AdamW, faithful)',
+        'train_mfu': round(train_mfu, 4),
+        'disk_png_value': None if disk_png is None else round(disk_png, 3),
+        'disk_raw_value': None if disk_raw is None else round(disk_raw, 3),
+        'disk_note': 'disk-to-metrics on this 1-core host: real PNG tree '
+                     '(threaded decode) and decoded-array raw cache (the '
+                     'TFRecord-analog production path)',
         'vs_pipeline_only': round(faithful / ref_pipe, 2),
         'ref_e2e_images_per_sec': round(ref_e2e, 4),
+        'mfu_note': 'mfu = compiled-HLO flops / elapsed / 197e12 (v5e bf16 '
+                    'peak)',
         'baseline_note': 'ref e2e = reference preprocessing verbatim + '
                          'architecture-equivalent torch ensemble on this '
                          'host CPU, perfect-overlap assumption '
