@@ -39,7 +39,7 @@ from ..core.mesh import (batch_sharding, create_mesh, has_model_axis,
                          opt_state_shardings, replicated_sharding,
                          tp_param_shardings)
 from ..core.precision import get_policy
-from ..core.prng import RngStreams, per_sample_keys
+from ..core.prng import RngStreams, dropout_key, per_sample_keys
 from ..data.pipeline import prepare_batch
 from ..losses.fog_density import FogDensityAwareLoss, cross_entropy_loss
 from ..metrics.iou import (confusion_matrix_per_weather,
@@ -326,10 +326,12 @@ class AdverseWeatherTrainer:
 
     def _build_train_step(self):
         use_fog = isinstance(self.loss_fn, FogDensityAwareLoss)
+        drng = (self.config.get('tpu') or {}).get('dropout_rng', 'rbg')
 
         def step(state: TrainState, images, labels, weather_ids, sample_ids,
                  sample_mask, step_key, metric_sums):
             k_weather, k_aug, k_dropout, k_fog = jax.random.split(step_key, 4)
+            k_dropout = dropout_key(k_dropout, drng)
             keys = per_sample_keys(k_weather, sample_ids)
             prep = prepare_batch(images, labels, weather_ids, keys,
                                  aug_key=k_aug, train=True,

@@ -233,6 +233,10 @@ def create_default_config() -> Config:
             'mesh_shape': 'auto',     # 'auto' = 1-D data mesh over all devices
             'precision': 'bf16',      # 'bf16' | 'fp32' compute dtype
             'donate_state': True,     # donate train state buffers under jit
+            # Dropout-mask PRNG: 'rbg' uses the TPU hardware RNG (threefry
+            # mask regeneration in fwd+bwd costs ~70 ms/step at 512x1024 B8);
+            # 'threefry' keeps JAX's default stream. Deterministic either way.
+            'dropout_rng': 'rbg',
         },
     }
     return Config(default_config)

@@ -226,9 +226,11 @@ def measure_tpu_train():
     loss_fn = FogDensityAwareLoss()
 
     def step(carry, image, label, weather_id, keys):
+        from awsegbench.core.prng import dropout_key
         params, bstats, opt_state, i = carry
         kk = jax.random.fold_in(jax.random.PRNGKey(2), i)
         k_fog, k_aug, k_drop = jax.random.split(kk, 3)
+        k_drop = dropout_key(k_drop)  # hardware RNG, as the trainer does
         prep = prepare_batch(image, label, weather_id, keys, aug_key=k_aug,
                              train=True, include_depth=True)
         fog = fog_density_from_weather(weather_id, k_fog, h, w)

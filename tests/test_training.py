@@ -336,3 +336,40 @@ class TestTrainerIntegration:
         # min_delta so large nothing counts as improvement → stop after
         # patience+1 epochs
         assert res['total_epochs'] <= 3
+
+
+class TestDropoutKey:
+    """tpu.dropout_rng: hardware-RNG dropout stream (core/prng.dropout_key)."""
+
+    def test_threefry_passthrough(self):
+        from awsegbench.core.prng import dropout_key
+        k = jax.random.PRNGKey(7)
+        assert dropout_key(k, 'threefry') is k
+        assert dropout_key(k, None) is k
+
+    def test_rbg_deterministic_and_seed_sensitive(self):
+        from awsegbench.core.prng import dropout_key
+        k = jax.random.fold_in(jax.random.PRNGKey(3), 11)
+        m1 = jax.random.bernoulli(dropout_key(k), 0.9, (512,))
+        m2 = jax.random.bernoulli(dropout_key(k), 0.9, (512,))
+        assert bool(jnp.all(m1 == m2))  # same stream key → same mask
+        k2 = jax.random.fold_in(jax.random.PRNGKey(3), 12)
+        m3 = jax.random.bernoulli(dropout_key(k2), 0.9, (512,))
+        assert not bool(jnp.all(m1 == m3))  # different fold-in → new mask
+
+    def test_rbg_keep_rate(self):
+        from awsegbench.core.prng import dropout_key
+        k = dropout_key(jax.random.PRNGKey(0))
+        keep = jax.random.bernoulli(k, 0.9, (1 << 20,))
+        rate = float(jnp.mean(keep))
+        assert abs(rate - 0.9) < 2e-3
+
+    def test_rbg_under_jit(self):
+        from awsegbench.core.prng import dropout_key
+
+        @jax.jit
+        def f(k):
+            return jax.random.bernoulli(dropout_key(k), 0.5, (256,))
+
+        out = f(jax.random.PRNGKey(1))
+        assert out.shape == (256,)
