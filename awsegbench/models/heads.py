@@ -40,6 +40,8 @@ from ..ops.headkernels import (
     pallas_heads_available,
     seg_head_fused,
 )
+from ..ops.depthkernels_train import depth_stage1_fused_train
+from ..ops.headkernels_train import seg_head_fused_train
 from ..ops.upconv import upsample_conv3x3
 
 # He-normal fan_out on 'relu' — matches torch kaiming_normal_(mode='fan_out')
@@ -96,7 +98,7 @@ class BatchNormParams(nn.Module):
 
     @nn.compact
     def __call__(self, x: Optional[jax.Array], train: bool = False,
-                 features: Optional[int] = None):
+                 features: Optional[int] = None, set_stats=None):
         c = features if features is not None else x.shape[-1]
         scale = self.param('scale', nn.initializers.ones_init(), (c,))
         bias = self.param('bias', nn.initializers.zeros_init(), (c,))
@@ -104,6 +106,18 @@ class BatchNormParams(nn.Module):
                                 lambda s: jnp.zeros(s, jnp.float32), (c,))
         ra_var = self.variable('batch_stats', 'var',
                                lambda s: jnp.ones(s, jnp.float32), (c,))
+        if set_stats is not None:
+            # externally computed batch stats (fused train kernels): fold
+            # into the running stats exactly as the train branch below
+            mean, var = set_stats
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1.0 - self.momentum)
+                                 * mean.astype(jnp.float32))
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1.0 - self.momentum)
+                                * var.astype(jnp.float32))
+            return scale, bias, ra_mean.value, ra_var.value
         if x is None:
             return scale, bias, ra_mean.value, ra_var.value
 
@@ -201,6 +215,28 @@ class DepthEstimationHead(nn.Module):
                 k1, b1, s1, o1, m1, v1, BN_EPS,
                 k2, b2, scale=upsample_scale)
 
+        # train-mode fused stage 1: batch stats in the coarse domain +
+        # counter-hash dropout + custom-VJP backward; BN2/ReLU/proj tail
+        # stays in XLA (flax-exact BN2 train semantics via bn1)
+        use_pallas_train = (
+            upsample_scale is not None and train
+            and not self.is_initializing()
+            and _pallas_heads_enabled()
+            and not _env_flag('AWSEG_DISABLE_TRAIN_HEADS')
+            and features.shape[1] >= 2 and features.shape[2] >= 2
+            and upsample_scale >= 4)
+        if use_pallas_train:
+            s0, o0, _, _ = bn0(None, features=c1)
+            rng_key = (self.make_rng('dropout')
+                       if self.dropout > 0.0 else None)
+            h2, m1, v1 = depth_stage1_fused_train(
+                features, k0, b0, s0, o0, BN_EPS, k1,
+                rate=self.dropout, rng_key=rng_key, scale=upsample_scale)
+            bn0(None, features=c1, set_stats=(m1, v1))
+            x = nn.relu(bn1(h2 + b1.astype(h2.dtype), train))
+            x = _conv(x, k2, b2)
+            return nn.sigmoid(x)
+
         x = _conv3x3(features, k0, b0, upsample_scale)
         x = nn.relu(bn0(x, train))
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
@@ -236,6 +272,24 @@ class SegmentationHead(nn.Module):
             s0, o0, m0, v0 = bn0(None, features=c1)
             return seg_head_fused(features, k0, b0, s0, o0, m0, v0, BN_EPS,
                                   kp, bp, scale=upsample_scale)
+
+        # train-mode fused path: batch stats in the coarse domain +
+        # in-kernel hardware-PRNG dropout + custom-VJP backward
+        use_pallas_train = (
+            upsample_scale is not None and train
+            and not self.is_initializing()
+            and _pallas_heads_enabled()
+            and not _env_flag('AWSEG_DISABLE_TRAIN_HEADS')
+            and features.shape[1] >= 2 and features.shape[2] >= 2)
+        if use_pallas_train:
+            s0, o0, _, _ = bn0(None, features=c1)
+            rng_key = (self.make_rng('dropout')
+                       if self.dropout > 0.0 else None)
+            y, mean, var = seg_head_fused_train(
+                features, k0, b0, s0, o0, BN_EPS, kp, bp,
+                rate=self.dropout, rng_key=rng_key, scale=upsample_scale)
+            bn0(None, features=c1, set_stats=(mean, var))
+            return y
 
         x = _conv3x3(features, k0, b0, upsample_scale)
         x = nn.relu(bn0(x, train))

@@ -109,7 +109,12 @@ def _neighbor_pp(f: jax.Array, kernel: jax.Array, chunk: int) -> jax.Array:
     the RHS of the joint-phase matmul (kron(Ay, Ax) is the LHS).
     """
     dtype = f.dtype
+    # f32 inputs must not ride XLA's truncated default dot path (CPU ~1e-3);
+    # bf16 production inputs keep the plain MXU pass.
+    prec = (lax.Precision.HIGHEST if dtype == jnp.float32
+            else lax.Precision.DEFAULT)
     P = jnp.einsum('bhwc,yxcO->bhwyxO', f, kernel.astype(dtype),
+                   precision=prec,
                    preferred_element_type=jnp.float32).astype(dtype)
     P = _shift_gather(P, 1)   # [b,h,3dy,w,ky,kx,C]
     P = _shift_gather(P, 3)   # [b,h,3dy,w,3dx,ky,kx,C]

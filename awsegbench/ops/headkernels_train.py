@@ -1,0 +1,571 @@
+"""Train-mode fused SegFormer seg head: Pallas forward + backward.
+
+The eval-mode kernel (``ops/headkernels.py``) fuses
+``conv3x3(upsample x32(f)) -> BN -> ReLU -> conv1x1`` per output tile so the
+full-resolution 256-channel hidden never touches HBM. Training
+(reference trainer.py:280-375 hot loop; our ``train/trainer.py`` one-jit
+step) additionally needs
+
+  1. BN **batch** statistics of the full-res hidden (flax semantics:
+     f32 fast-variance over all B*H*W pixels),
+  2. dropout between ReLU and the projection,
+  3. the backward pass.
+
+All three are served here without materializing the hidden:
+
+* **Batch stats in the coarse domain** — the hidden is linear in the
+  coarse 3x3-neighborhood partial products ``pp`` (`_neighbor_pp`), so
+  per-channel sums collapse through the joint phase table ``A``
+  (kron(Ay, Ax), [r^2, 81]):
+
+      sum_pixels h  = colsum(A) . pp        (one [81] contraction)
+      sum_pixels h^2 = pp^T (A^T A) pp       (one [81,81] Gram contraction)
+
+  Image-border fine lines differ from the interior formula (the 3x3
+  conv's zero padding vs the kernel's clamped halo), so the border
+  lines' contributions are swapped out exactly: subtract the kernel's
+  border-line sums (1-D phase-table contractions on edge cells), add the
+  true zero-padded border sums (`_conv1_border_lines` strips). The
+  result matches stats of the materialized hidden to accumulation-order
+  tolerance, and — being plain XLA einsums of ``pp`` — is transparent to
+  autodiff, which yields the full BN-train backward (the batch-stat
+  coupling) for free through the folded affine (a1, c1).
+
+* **In-kernel dropout** — each grid program seeds the TPU hardware PRNG
+  (`pltpu.prng_seed`) from (step seed, program id) and draws the keep
+  mask in VMEM (`pltpu.prng_random_bits`); the backward kernel re-seeds
+  identically and regenerates the same mask. The mask bitstream differs
+  from flax's ``nn.Dropout`` (as the reference's torch stream differs
+  from either — stream identity is not part of the parity contract;
+  keep-rate/determinism are pinned by tests). A ``mask=`` input path
+  feeds an explicit mask instead for CPU/interpreter parity tests, where
+  the hardware PRNG primitives don't lower.
+
+* **Custom-VJP backward kernel** — per tile: recompute the fine hidden
+  (one [r^2,81]x[81,chunk*C] matmul), regenerate the mask, then produce
+  d(pp) (phase-table transpose), and accumulate d(affine)/d(proj) across
+  the sequential grid. Everything upstream of ``pp`` (conv1 kernel,
+  BN scale/bias via the stats einsums, the coarse features) and the
+  pasted border lines differentiate through XLA.
+
+Replaces the train-path capability of reference model.py:152-158 +
+trainer.py:280-375 (the torch head runs eagerly at full resolution).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .headkernels import (
+    _ayx,
+    _conv1_border_lines,
+    _neighbor_pp,
+    _pick_chunk,
+)
+
+# 32 MB scoped-vmem ceiling: the backward tile set (fine + dfine f32 at
+# [r^2, chunk*C] plus per-cell hidden/dz recompute) sits ~0.5 MB over the
+# 16 MB default in some surrounding-fusion layouts
+_SEQ3 = pltpu.CompilerParams(
+    dimension_semantics=('arbitrary', 'arbitrary', 'arbitrary'),
+    vmem_limit_bytes=32 * 1024 * 1024)
+
+# f32 einsums must not take XLA's truncated default-precision dot path
+# (~1e-3 on CPU); bf16 inputs ride the MXU with f32 accumulation either way.
+_HI = dict(precision=lax.Precision.HIGHEST,
+           preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# batch statistics in the coarse domain
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _ayx_colsum(r: int) -> np.ndarray:
+    """[81]: column sums of the joint phase table (sum over all phases)."""
+    return _ayx(r, False).sum(axis=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _ayx_gram(r: int) -> np.ndarray:
+    """[81, 81]: A^T A of the joint phase table."""
+    a = _ayx(r, False)
+    return (a.T @ a).astype(np.float32)
+
+
+def _edge_rows(r: int, edge: str) -> np.ndarray:
+    """The [r, 81] rows of the joint table on one border fine line."""
+    a = _ayx(r, False)
+    if edge == 'top':
+        return a[0:r]                    # p = 0, q = 0..r-1
+    if edge == 'bot':
+        return a[(r - 1) * r:r * r]      # p = r-1
+    if edge == 'left':
+        return a[0::r]                   # q = 0, p = 0..r-1
+    return a[r - 1::r]                   # q = r-1
+
+
+def _sum_sq(x, axes):
+    xf = x.astype(jnp.float32)
+    return jnp.sum(xf, axes), jnp.sum(xf * xf, axes)
+
+
+def _fold_chunk(v: jax.Array, chunk: int, c1: int) -> jax.Array:
+    return v.reshape(chunk, c1).sum(axis=0)
+
+
+def seg_batch_stats(pp: jax.Array, f: jax.Array, conv1_kernel: jax.Array,
+                    r: int, chunk: int) -> tuple[jax.Array, jax.Array]:
+    """(sum, sum_of_squares) per channel of the BIAS-FREE full-res hidden
+    (conv3x3 of the x r upsample of ``f``), border-exact, f32.
+
+    ``pp`` is `_neighbor_pp(f, conv1_kernel, chunk)`; plain differentiable
+    XLA — autodiff through this is the batch-stat half of BN-train's
+    backward."""
+    c1 = conv1_kernel.shape[-1]
+    ppf = pp.astype(jnp.float32)
+
+    # interior formula over ALL cells (including its—wrong—border lines)
+    colsum = jnp.asarray(_ayx_colsum(r))
+    s_all = jnp.einsum('a,bhwak->k', colsum, ppf, **_HI)
+    gram = jnp.asarray(_ayx_gram(r))
+    q_all = jnp.einsum('bhwak,ax,bhwxk->k', ppf, gram, ppf, **_HI)
+
+    # kernel values on the four border fine lines (to subtract)
+    def edge_sums(rows: np.ndarray, cells: jax.Array):
+        # cells: [..., 81, C] edge-cell partial products
+        csum = jnp.asarray(rows.sum(axis=0))
+        g = jnp.asarray((rows.T @ rows).astype(np.float32))
+        s = jnp.einsum('a,...ak->k', csum, cells, **_HI)
+        q = jnp.einsum('...ak,ax,...xk->k', cells, g, cells, **_HI)
+        return s, q
+
+    c1b = chunk * c1
+    top = ppf[:, 0]                                   # [B, wc, 81, chunk*C]
+    bot = ppf[:, -1]
+    left = ppf[:, :, 0, :, :c1]                       # [B, h, 81, C]
+    right = ppf[:, :, -1, :, c1b - c1:]
+
+    s_t, q_t = edge_sums(_edge_rows(r, 'top'), top)
+    s_b, q_b = edge_sums(_edge_rows(r, 'bot'), bot)
+    s_l, q_l = edge_sums(_edge_rows(r, 'left'), left)
+    s_r, q_r = edge_sums(_edge_rows(r, 'right'), right)
+    s_t, q_t = _fold_chunk(s_t, chunk, c1), _fold_chunk(q_t, chunk, c1)
+    s_b, q_b = _fold_chunk(s_b, chunk, c1), _fold_chunk(q_b, chunk, c1)
+
+    # kernel corner values (in top/bot AND left/right: subtract once)
+    a = _ayx(r, False)
+    corners = [
+        (a[0], ppf[:, 0, 0, :, :c1]),                     # (0, 0)
+        (a[r - 1], ppf[:, 0, -1, :, c1b - c1:]),          # (0, W-1)
+        (a[(r - 1) * r], ppf[:, -1, 0, :, :c1]),          # (H-1, 0)
+        (a[r * r - 1], ppf[:, -1, -1, :, c1b - c1:]),     # (H-1, W-1)
+    ]
+    s_ck = jnp.zeros((c1,), jnp.float32)
+    q_ck = jnp.zeros((c1,), jnp.float32)
+    for row, cell in corners:
+        v = jnp.einsum('a,bak->bk', jnp.asarray(row), cell, **_HI)
+        s_ck = s_ck + v.sum(0)
+        q_ck = q_ck + (v * v).sum(0)
+
+    s_kb = s_t + s_b + s_l + s_r - s_ck
+    q_kb = q_t + q_b + q_l + q_r - q_ck
+
+    # true zero-padded border values (to add)
+    lines = _conv1_border_lines(f, conv1_kernel, r)
+    s_eb = jnp.zeros((c1,), jnp.float32)
+    q_eb = jnp.zeros((c1,), jnp.float32)
+    for name in ('top', 'bot', 'left', 'right'):
+        s_i, q_i = _sum_sq(lines[name], (0, 1))
+        s_eb, q_eb = s_eb + s_i, q_eb + q_i
+    for cv in (lines['top'][:, 0], lines['top'][:, -1],
+               lines['bot'][:, 0], lines['bot'][:, -1]):
+        s_i, q_i = _sum_sq(cv, (0,))
+        s_eb, q_eb = s_eb - s_i, q_eb - q_i
+
+    sum_full = _fold_chunk(s_all, chunk, c1) - s_kb + s_eb
+    sq_full = _fold_chunk(q_all, chunk, c1) - q_kb + q_eb
+    return sum_full, sq_full
+
+
+# ---------------------------------------------------------------------------
+# core kernels
+# ---------------------------------------------------------------------------
+
+def _seed_prng(seed_ref):
+    pid = ((pl.program_id(0) * pl.num_programs(1) + pl.program_id(1))
+           * pl.num_programs(2) + pl.program_id(2))
+    # this backend's prng_seed takes at most 2 words: fold the program id
+    # into the second (Knuth multiplicative hash keeps streams distinct)
+    pltpu.prng_seed(seed_ref[0],
+                    seed_ref[1] ^ (pid * np.int32(-1640531527)))
+
+
+def _draw_mask(shape, thresh: int):
+    bits = pltpu.prng_random_bits(shape)
+    bits = lax.bitcast_convert_type(bits, jnp.uint32)
+    return bits >= jnp.uint32(thresh)
+
+
+def _cell_mask(mode, cell, mask_ref, r, c1, thresh):
+    if mode == 'prng':
+        return _draw_mask((r * r, c1), thresh)
+    if mode == 'input':
+        return mask_ref[0, 0, 0][:, cell * c1:(cell + 1) * c1] != 0
+    return None
+
+
+def _seg_train_fwd_kernel(*refs, r, c1, nc, chunk, thresh, inv_keep, mode):
+    if mode == 'input':
+        (seed_ref, ayx_ref, pp_ref, a1_ref, c1_ref, wp_ref, bp_ref,
+         mask_ref, out_ref) = refs
+    else:
+        (seed_ref, ayx_ref, pp_ref, a1_ref, c1_ref, wp_ref, bp_ref,
+         out_ref) = refs
+        mask_ref = None
+    f32 = jnp.float32
+    mm_dtype = out_ref.dtype if out_ref.dtype == jnp.bfloat16 else f32
+    if mode == 'prng':
+        _seed_prng(seed_ref)
+
+    w3 = pp_ref[0, 0, 0]                                  # [81, chunk*C]
+    fine = jnp.dot(ayx_ref[:].astype(mm_dtype), w3.astype(mm_dtype),
+                   preferred_element_type=f32)            # [r*r, chunk*C]
+    hidden = jnp.maximum(fine * a1_ref[0][None, :]
+                         + c1_ref[0][None, :], 0.0)
+    for cell in range(chunk):
+        u = hidden[:, cell * c1:(cell + 1) * c1]
+        m = _cell_mask(mode, cell, mask_ref, r, c1, thresh)
+        if m is not None:
+            u = jnp.where(m, u * inv_keep, 0.0)
+        logits = jnp.dot(u.astype(mm_dtype), wp_ref[:].astype(mm_dtype),
+                         preferred_element_type=f32)
+        logits = logits + bp_ref[0][None, :]
+        out_ref[0, :, cell * r:(cell + 1) * r, :] = (
+            logits.reshape(r, r, nc).astype(out_ref.dtype))
+
+
+def _seg_train_bwd_kernel(*refs, r, c1, nc, chunk, thresh, inv_keep, mode):
+    if mode == 'input':
+        (seed_ref, ayx_ref, pp_ref, a1_ref, c1_ref, wp_ref, dy_ref, mask_ref,
+         dpp_ref, da1_ref, dc1_ref, dwp_ref, dbp_ref) = refs
+    else:
+        (seed_ref, ayx_ref, pp_ref, a1_ref, c1_ref, wp_ref, dy_ref,
+         dpp_ref, da1_ref, dc1_ref, dwp_ref, dbp_ref) = refs
+        mask_ref = None
+    f32 = jnp.float32
+    mm_dtype = pp_ref.dtype if pp_ref.dtype == jnp.bfloat16 else f32
+    if mode == 'prng':
+        _seed_prng(seed_ref)
+
+    first = ((pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+             & (pl.program_id(2) == 0))
+
+    @pl.when(first)
+    def _():
+        da1_ref[...] = jnp.zeros_like(da1_ref)
+        dc1_ref[...] = jnp.zeros_like(dc1_ref)
+        dwp_ref[...] = jnp.zeros_like(dwp_ref)
+        dbp_ref[...] = jnp.zeros_like(dbp_ref)
+
+    w3 = pp_ref[0, 0, 0]
+    fine = jnp.dot(ayx_ref[:].astype(mm_dtype), w3.astype(mm_dtype),
+                   preferred_element_type=f32)            # [r*r, chunk*C]
+
+    dfine_parts, da1_parts, dc1_parts = [], [], []
+    dwp_acc = jnp.zeros((c1, nc), f32)
+    dbp_row = jnp.zeros((1, nc), f32)
+    for cell in range(chunk):
+        sl = slice(cell * c1, (cell + 1) * c1)
+        fine_c = fine[:, sl]
+        # NB: arr[None, sl] lowers via jnp's gather path (1-D gather —
+        # unsupported in Mosaic); lax.slice + [None] stays a plain slice
+        a1_c = lax.slice(a1_ref[0], (cell * c1,), ((cell + 1) * c1,))[None]
+        c1_c = lax.slice(c1_ref[0], (cell * c1,), ((cell + 1) * c1,))[None]
+        z = fine_c * a1_c + c1_c
+        u = jnp.maximum(z, 0.0)
+        m = _cell_mask(mode, cell, mask_ref, r, c1, thresh)
+        v = u if m is None else jnp.where(m, u * inv_keep, 0.0)
+
+        dy_c = dy_ref[0, :, cell * r:(cell + 1) * r, :].reshape(
+            r * r, nc).astype(f32)
+        # dv = dy @ wp^T
+        dv = lax.dot_general(dy_c.astype(mm_dtype),
+                             wp_ref[:].astype(mm_dtype),
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=f32)  # [r*r, C]
+        du = dv if m is None else jnp.where(m, dv * inv_keep, 0.0)
+        dz = jnp.where(z > 0, du, 0.0)
+
+        da1_parts.append(jnp.sum(dz * fine_c, axis=0, keepdims=True))
+        dc1_parts.append(jnp.sum(dz, axis=0, keepdims=True))
+        dwp_acc = dwp_acc + lax.dot_general(
+            v.astype(mm_dtype), dy_c.astype(mm_dtype),
+            (((0,), (0,)), ((), ())), preferred_element_type=f32)
+        dbp_row = dbp_row + jnp.sum(dy_c, axis=0, keepdims=True)
+        dfine_parts.append(dz * a1_c)
+
+    # concatenation instead of .at[].set: Mosaic has no scatter lowering
+    dfine = jnp.concatenate(dfine_parts, axis=1)          # [r*r, chunk*C]
+    da1_row = jnp.concatenate(da1_parts, axis=1)          # [1, chunk*C]
+    dc1_row = jnp.concatenate(dc1_parts, axis=1)
+
+    # dpp = A^T @ dfine  [81, chunk*C]
+    dpp = lax.dot_general(ayx_ref[:].astype(mm_dtype),
+                          dfine.astype(mm_dtype),
+                          (((0,), (0,)), ((), ())),
+                          preferred_element_type=f32)
+    dpp_ref[0, 0, 0] = dpp.astype(dpp_ref.dtype)
+    da1_ref[...] += da1_row
+    dc1_ref[...] += dc1_row
+    dwp_ref[...] += dwp_acc
+    dbp_ref[...] += dbp_row
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP core
+# ---------------------------------------------------------------------------
+
+def _rep_spec(shape):
+    n = len(shape)
+    return pl.BlockSpec(shape, lambda bb, i, j: (0,) * n,
+                        memory_space=pltpu.VMEM)
+
+
+def _core_specs(r, c1, nc, chunk):
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),            # seeds
+        _rep_spec((r * r, 81)),                           # ayx
+        pl.BlockSpec((1, 1, 1, 81, chunk * c1),
+                     lambda bb, i, j: (bb, i, j, 0, 0),
+                     memory_space=pltpu.VMEM),            # pp
+        _rep_spec((1, chunk * c1)),                       # a1
+        _rep_spec((1, chunk * c1)),                       # c1
+        _rep_spec((c1, nc)),                              # wp
+        _rep_spec((1, nc)),                               # bp
+    ]
+    mask_spec = pl.BlockSpec((1, 1, 1, r * r, chunk * c1),
+                             lambda bb, i, j: (bb, i, j, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, r, chunk * r, nc),
+                            lambda bb, i, j: (bb, i, j, 0),
+                            memory_space=pltpu.VMEM)
+    return in_specs, mask_spec, out_spec
+
+
+def _tile_mask(mask: jax.Array, r: int, chunk: int) -> jax.Array:
+    """[B, H, W, C] bool -> [B, h, wc, r*r, chunk*C] int8 (kernel layout)."""
+    b, hh, ww, c = mask.shape
+    h, w = hh // r, ww // r
+    m = mask.reshape(b, h, r, w // chunk, chunk, r, c)
+    m = m.transpose(0, 1, 3, 2, 5, 4, 6)
+    return m.reshape(b, h, w // chunk, r * r, chunk * c).astype(jnp.int8)
+
+
+def _core_params(rate):
+    keep = 1.0 - rate
+    thresh = min(int(round(rate * 4294967296.0)), 4294967295)
+    return thresh, (1.0 / keep if keep > 0.0 else 0.0)
+
+
+def _core_mode(rate, mask_t):
+    if rate <= 0.0:
+        return 'none'
+    return 'input' if mask_t is not None else 'prng'
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _seg_core(pp, a1t, c1t, wp, bp, seeds, mask_t, rate, r, interpret):
+    out, _ = _seg_core_fwd(pp, a1t, c1t, wp, bp, seeds, mask_t,
+                           rate, r, interpret)
+    return out
+
+
+def _seg_core_fwd(pp, a1t, c1t, wp, bp, seeds, mask_t, rate, r, interpret):
+    b, h, wc, _, cc1 = pp.shape
+    c1, nc = wp.shape
+    chunk = cc1 // c1
+    mode = _core_mode(rate, mask_t)
+    thresh, inv_keep = _core_params(rate)
+
+    in_specs, mask_spec, out_spec = _core_specs(r, c1, nc, chunk)
+    kernel = functools.partial(
+        _seg_train_fwd_kernel, r=r, c1=c1, nc=nc, chunk=chunk,
+        thresh=thresh, inv_keep=inv_keep, mode=mode)
+    args = [seeds, jnp.asarray(_ayx(r, False)), pp, a1t, c1t, wp,
+            bp.astype(jnp.float32)[None]]
+    if mode == 'input':
+        in_specs = in_specs + [mask_spec]
+        args.append(mask_t)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, h, wc),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h * r, wc * chunk * r, nc),
+                                       pp.dtype),
+        compiler_params=_SEQ3,
+        interpret=interpret,
+    )(*args)
+    return out, (pp, a1t, c1t, wp, seeds, mask_t)
+
+
+def _seg_core_bwd(rate, r, interpret, res, dy):
+    pp, a1t, c1t, wp, seeds, mask_t = res
+    b, h, wc, _, cc1 = pp.shape
+    c1, nc = wp.shape
+    chunk = cc1 // c1
+    mode = _core_mode(rate, mask_t)
+    thresh, inv_keep = _core_params(rate)
+
+    in_specs, mask_spec, out_spec = _core_specs(r, c1, nc, chunk)
+    # inputs: seeds, ayx, pp, a1, c1, wp, dy [, mask]
+    bwd_in_specs = in_specs[:6] + [out_spec]
+    args = [seeds, jnp.asarray(_ayx(r, False)), pp, a1t, c1t, wp, dy]
+    if mode == 'input':
+        bwd_in_specs.append(mask_spec)
+        args.append(mask_t)
+    kernel = functools.partial(
+        _seg_train_bwd_kernel, r=r, c1=c1, nc=nc, chunk=chunk,
+        thresh=thresh, inv_keep=inv_keep, mode=mode)
+    dpp, da1, dc1, dwp, dbp = pl.pallas_call(
+        kernel,
+        grid=(b, h, wc),
+        in_specs=bwd_in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, 1, 81, cc1),
+                         lambda bb, i, j: (bb, i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            _rep_spec((1, cc1)),
+            _rep_spec((1, cc1)),
+            _rep_spec((c1, nc)),
+            _rep_spec((1, nc)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(pp.shape, pp.dtype),
+            jax.ShapeDtypeStruct((1, cc1), jnp.float32),
+            jax.ShapeDtypeStruct((1, cc1), jnp.float32),
+            jax.ShapeDtypeStruct((c1, nc), jnp.float32),
+            jax.ShapeDtypeStruct((1, nc), jnp.float32),
+        ],
+        compiler_params=_SEQ3,
+        interpret=interpret,
+    )(*args)
+    dmask = (None if mask_t is None
+             else np.zeros(mask_t.shape, jax.dtypes.float0))
+    return (dpp,
+            da1.astype(a1t.dtype),
+            dc1.astype(c1t.dtype),
+            dwp.astype(wp.dtype),
+            dbp[0].astype(wp.dtype),
+            np.zeros(seeds.shape, jax.dtypes.float0),
+            dmask)
+
+
+_seg_core.defvjp(_seg_core_fwd, _seg_core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+def seg_head_fused_train(f: jax.Array, conv1_kernel: jax.Array,
+                         conv1_bias: jax.Array,
+                         bn_scale: jax.Array, bn_bias: jax.Array,
+                         bn_eps: float,
+                         proj_kernel: jax.Array, proj_bias: jax.Array,
+                         *, rate: float = 0.0, rng_key=None,
+                         mask: jax.Array | None = None,
+                         scale: int = 32, interpret: bool = False):
+    """Train-mode fused faithful seg head.
+
+    ``conv3x3(upsample x scale(f)) -> BN(batch stats) -> ReLU ->
+    dropout(rate) -> conv1x1``, full-res hidden VMEM-resident.
+
+    Returns ``(out [B, H, W, nc], batch_mean [c1], batch_var [c1])`` —
+    mean/var are the f32 batch statistics of the hidden (fast-variance
+    convention, matching ``BatchNormParams``); the caller folds them into
+    the running stats. Dropout: hardware-PRNG in-kernel mask derived from
+    ``rng_key`` (or an explicit full-res ``mask`` [B,H,W,c1] for the
+    CPU/interpreter test path). Border fine lines are computed exactly in
+    XLA (zero-padded conv semantics) and pasted, as in the eval kernel.
+    """
+    b, h, w, _ = f.shape
+    c1 = conv1_kernel.shape[-1]
+    nc = proj_kernel.shape[-1]
+    r = scale
+    chunk = _pick_chunk(w, c1)
+
+    pp = _neighbor_pp(f, conv1_kernel, chunk)
+    s_full, q_full = seg_batch_stats(pp, f, conv1_kernel, r, chunk)
+    n = float(b * h * w * r * r)
+    mean_nb = s_full / n                       # bias-free mean
+    var = q_full / n - mean_nb * mean_nb
+    a1 = bn_scale.astype(jnp.float32) * lax.rsqrt(var + bn_eps)
+    c1b = bn_bias.astype(jnp.float32) - mean_nb * a1
+
+    if rate > 0.0 and rng_key is None and mask is None:
+        raise ValueError('dropout needs rng_key or an explicit mask')
+    if rng_key is not None:
+        seeds = lax.bitcast_convert_type(
+            jax.random.bits(rng_key, (2,), jnp.uint32), jnp.int32)
+    else:
+        seeds = jnp.zeros((2,), jnp.int32)
+    mask_t = None
+    if mask is not None and rate > 0.0:
+        mask_t = _tile_mask(mask, r, chunk)
+
+    a1t = jnp.tile(a1, chunk)[None]
+    c1t = jnp.tile(c1b, chunk)[None]
+    wp = proj_kernel.reshape(c1, nc)
+    out = _seg_core(pp, a1t, c1t, wp, proj_bias, seeds, mask_t,
+                    rate, r, interpret)
+
+    out = _paste_seg_borders_train(out, f, conv1_kernel, a1, c1b, wp,
+                                   proj_bias, r, rate, rng_key, mask)
+    mean = mean_nb + conv1_bias.astype(jnp.float32)
+    return out, mean, var
+
+
+def _paste_seg_borders_train(out, f, conv1_kernel, a1, c1b, wp, bp, r,
+                             rate, rng_key, mask):
+    """Overwrite the four 1-px border lines with exact zero-padded values
+    (train variant: BN-batch-stat affine + dropout on the strips)."""
+    dtype = out.dtype
+    lines = _conv1_border_lines(f, conv1_kernel, r)
+    keep = 1.0 - rate
+
+    def strip_mask(name, strip):
+        if rate <= 0.0:
+            return None
+        if mask is not None:
+            sel = {'top': mask[:, 0], 'bot': mask[:, -1],
+                   'left': mask[:, :, 0], 'right': mask[:, :, -1]}[name]
+            return sel
+        k = jax.random.fold_in(rng_key, {'top': 1, 'bot': 2, 'left': 3,
+                                         'right': 4}[name])
+        return jax.random.bernoulli(k, keep, strip.shape)
+
+    def head_tail(name, pre):  # [B, N, c1] bias-free pre-BN conv1
+        hdn = jnp.maximum(pre.astype(jnp.float32) * a1[None, None, :]
+                          + c1b[None, None, :], 0.0)
+        m = strip_mask(name, hdn)
+        if m is not None:
+            hdn = jnp.where(m, hdn / keep, 0.0)
+        return (jnp.einsum('bnc,cO->bnO', hdn.astype(dtype),
+                           wp.astype(dtype),
+                           preferred_element_type=jnp.float32)
+                + bp).astype(dtype)
+
+    out = out.at[:, 0].set(head_tail('top', lines['top']))
+    out = out.at[:, -1].set(head_tail('bot', lines['bot']))
+    out = out.at[:, :, 0].set(head_tail('left', lines['left']))
+    out = out.at[:, :, -1].set(head_tail('right', lines['right']))
+    return out
