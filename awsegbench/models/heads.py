@@ -64,6 +64,18 @@ def _pallas_heads_enabled() -> bool:
     return pallas_heads_available()
 
 
+def _pallas_train_enabled(module: nn.Module, features: jax.Array,
+                          upsample_scale, min_scale: int = 1) -> bool:
+    """Single gate for the fused train-mode head kernels — shared so the
+    seg and depth heads can never silently diverge on routing."""
+    return (upsample_scale is not None
+            and not module.is_initializing()
+            and _pallas_heads_enabled()
+            and not _env_flag('AWSEG_DISABLE_TRAIN_HEADS')
+            and features.shape[1] >= 2 and features.shape[2] >= 2
+            and upsample_scale >= min_scale)
+
+
 class ConvParams(nn.Module):
     """Parameter holder matching ``nn.Conv``'s variable layout exactly
     (``kernel`` [kh,kw,Cin,Cout] + ``bias`` [Cout]) so the same parameters
@@ -218,13 +230,8 @@ class DepthEstimationHead(nn.Module):
         # train-mode fused stage 1: batch stats in the coarse domain +
         # counter-hash dropout + custom-VJP backward; BN2/ReLU/proj tail
         # stays in XLA (flax-exact BN2 train semantics via bn1)
-        use_pallas_train = (
-            upsample_scale is not None and train
-            and not self.is_initializing()
-            and _pallas_heads_enabled()
-            and not _env_flag('AWSEG_DISABLE_TRAIN_HEADS')
-            and features.shape[1] >= 2 and features.shape[2] >= 2
-            and upsample_scale >= 4)
+        use_pallas_train = (train and _pallas_train_enabled(
+            self, features, upsample_scale, min_scale=4))
         if use_pallas_train:
             s0, o0, _, _ = bn0(None, features=c1)
             rng_key = (self.make_rng('dropout')
@@ -275,12 +282,8 @@ class SegmentationHead(nn.Module):
 
         # train-mode fused path: batch stats in the coarse domain +
         # in-kernel hardware-PRNG dropout + custom-VJP backward
-        use_pallas_train = (
-            upsample_scale is not None and train
-            and not self.is_initializing()
-            and _pallas_heads_enabled()
-            and not _env_flag('AWSEG_DISABLE_TRAIN_HEADS')
-            and features.shape[1] >= 2 and features.shape[2] >= 2)
+        use_pallas_train = (train and _pallas_train_enabled(
+            self, features, upsample_scale))
         if use_pallas_train:
             s0, o0, _, _ = bn0(None, features=c1)
             rng_key = (self.make_rng('dropout')

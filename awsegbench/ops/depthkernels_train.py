@@ -58,11 +58,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .headkernels import _ayx, _conv1_border_lines, _neighbor_pp, _pick_chunk
-from .headkernels_train import seg_batch_stats
-
-_SEQ3 = pltpu.CompilerParams(
-    dimension_semantics=('arbitrary', 'arbitrary', 'arbitrary'),
-    vmem_limit_bytes=32 * 1024 * 1024)
+from .headkernels_train import _SEQ3, _core_params, seg_batch_stats
 
 _M1 = np.uint32(0x7FEB352D).astype(np.int32)
 _M2 = np.uint32(0x846CA68B).astype(np.int32)
@@ -83,24 +79,30 @@ def _mix32(h):
     return h
 
 
-def _drop_thresh(rate: float) -> int:
-    return min(int(round(rate * 4294967296.0)), 4294967295)
-
-
-def pixel_index(b, y, x, c, H: int, W: int, C: int):
-    """Global element index, int32 with wrap-around — the hash input.
-    The parenthesization must match everywhere a mask is drawn."""
-    b = jnp.asarray(b, jnp.int32)
+def pixel_index(y, x, c, W: int, C: int):
+    """PER-IMAGE element index, int32 — the hash input. Per-image (not
+    global) so the counter never wraps: H*W*C stays < 2^31 for every
+    supported resolution (2048x1024 x C=256 = 2^29), whereas a global
+    index would alias masks between batch elements once B*H*W*C exceeds
+    2^32 (the batch stride is a power of two at production shapes). The
+    batch element is folded into the seed instead (`image_seed`). The
+    parenthesization must match everywhere a mask is drawn."""
     y = jnp.asarray(y, jnp.int32)
     x = jnp.asarray(x, jnp.int32)
     c = jnp.asarray(c, jnp.int32)
-    return ((b * np.int32(H) + y) * np.int32(W) + x) * np.int32(C) + c
+    return (y * np.int32(W) + x) * np.int32(C) + c
+
+
+def image_seed(seed, b):
+    """Per-image seed: avalanche the batch index into the step seed so
+    every image draws from a distinct, uncorrelated counter stream."""
+    return seed ^ _mix32(jnp.asarray(b, jnp.int32) * _M1)
 
 
 def hash_keep(idx, seed, rate: float):
     """Keep mask from the element-index hash: keep iff u32(hash) >= rate."""
     bits = lax.bitcast_convert_type(_mix32(idx ^ seed), jnp.uint32)
-    return bits >= jnp.uint32(_drop_thresh(rate))
+    return bits >= jnp.uint32(_core_params(rate)[0])
 
 
 def dropout_keep_mask(shape, seed, rate: float):
@@ -110,7 +112,7 @@ def dropout_keep_mask(shape, seed, rate: float):
     y = jnp.arange(H, dtype=jnp.int32)[None, :, None, None]
     x = jnp.arange(W, dtype=jnp.int32)[None, None, :, None]
     c = jnp.arange(C, dtype=jnp.int32)[None, None, None, :]
-    return hash_keep(pixel_index(b, y, x, c, H, W, C), seed, rate)
+    return hash_keep(pixel_index(y, x, c, W, C), image_seed(seed, b), rate)
 
 
 # ---------------------------------------------------------------------------
@@ -129,7 +131,8 @@ def _tile_keep(seed, r, c1, chunk, H, W, rate):
     b = pl.program_id(0)
     y = pl.program_id(1) * np.int32(r) + p
     x = (pl.program_id(2) * np.int32(chunk) + cell) * np.int32(r) + q
-    return hash_keep(pixel_index(b, y, x, ch, H, W, c1), seed, rate)
+    return hash_keep(pixel_index(y, x, ch, W, c1), image_seed(seed, b),
+                     rate)
 
 
 def _z1_tile(ayx_ref, pp_ref, a1_ref, c1_ref, mm_dtype):
@@ -212,8 +215,7 @@ def _core_specs(r, c1, chunk):
 
 def _core_fwd_impl(pp, a1t, c1t, seed, rate, r, H, W, interpret, c1, chunk):
     b, h, wc, _, _ = pp.shape
-    keep = 1.0 - rate
-    inv_keep = 1.0 / keep if keep > 0.0 else 0.0
+    inv_keep = _core_params(rate)[1]
     in_specs, out_spec = _core_specs(r, c1, chunk)
     kernel = functools.partial(
         _d1_fwd_kernel, r=r, c1=c1, chunk=chunk, H=H, W=W, rate=rate,
@@ -233,8 +235,7 @@ def _core_fwd_impl(pp, a1t, c1t, seed, rate, r, H, W, interpret, c1, chunk):
 def _core_bwd_impl(pp, a1t, c1t, seed, rate, r, H, W, interpret, c1, chunk,
                    dy):
     b, h, wc, _, _ = pp.shape
-    keep = 1.0 - rate
-    inv_keep = 1.0 / keep if keep > 0.0 else 0.0
+    inv_keep = _core_params(rate)[1]
     in_specs, out_spec = _core_specs(r, c1, chunk)
     kernel = functools.partial(
         _d1_bwd_kernel, r=r, c1=c1, chunk=chunk, H=H, W=W, rate=rate,
@@ -294,24 +295,24 @@ def _line_mask(side, B, H, W, c1, seed, rate):
     field (top/bot: y fixed, N walks x; left/right: x fixed, N walks y)."""
     b = jnp.arange(B, dtype=jnp.int32)[:, None, None]
     c = jnp.arange(c1, dtype=jnp.int32)[None, None, :]
+    bseed = image_seed(seed, b)
     if side in ('top', 'bot'):
         n = jnp.arange(W, dtype=jnp.int32)[None, :, None]
         y = np.int32(0 if side == 'top' else H - 1)
-        return hash_keep(pixel_index(b, y, n, c, H, W, c1), seed, rate)
+        return hash_keep(pixel_index(y, n, c, W, c1), bseed, rate)
     n = jnp.arange(H, dtype=jnp.int32)[None, :, None]
     x = np.int32(0 if side == 'left' else W - 1)
-    return hash_keep(pixel_index(b, n, x, c, H, W, c1), seed, rate)
+    return hash_keep(pixel_index(n, x, c, W, c1), bseed, rate)
 
 
-def _paste_d1_borders(d1, f, k1, a1, c1b, r, seed, rate):
+def _paste_d1_borders(d1, lines, a1, c1b, r, seed, rate):
     """Overwrite d1's four 1-px border lines with exact zero-padded conv1
     values (BN1 batch affine + hash dropout applied)."""
     dtype = d1.dtype
-    B = f.shape[0]
+    B = d1.shape[0]
     H, W = d1.shape[1], d1.shape[2]
     c1 = a1.shape[-1]
     keep_rate = 1.0 - rate
-    lines = _conv1_border_lines(f, k1, r)
 
     def dropped(side, pre):                               # [B, N, c1]
         u = jnp.maximum(pre.astype(jnp.float32) * a1[None, None, :]
@@ -366,7 +367,9 @@ def depth_stage1_fused_train(f: jax.Array, conv1_kernel: jax.Array,
     chunk = _pick_chunk(w, c1)
 
     pp = _neighbor_pp(f, conv1_kernel, chunk)
-    s_full, q_full = seg_batch_stats(pp, f, conv1_kernel, r, chunk)
+    lines = _conv1_border_lines(f, conv1_kernel, r)
+    s_full, q_full = seg_batch_stats(pp, f, conv1_kernel, r, chunk,
+                                     lines=lines)
     n = float(b * H * W)
     mean_nb = s_full / n
     var = q_full / n - mean_nb * mean_nb
@@ -387,7 +390,7 @@ def depth_stage1_fused_train(f: jax.Array, conv1_kernel: jax.Array,
     a1t = jnp.tile(a1, chunk)[None]
     c1t = jnp.tile(c1b, chunk)[None]
     d1 = _d1_core2(pp, a1t, c1t, seed, rate, r, H, W, interpret, c1, chunk)
-    d1 = _paste_d1_borders(d1, f, conv1_kernel, a1, c1b, r, seed[0], rate)
+    d1 = _paste_d1_borders(d1, lines, a1, c1b, r, seed[0], rate)
 
     prec = (lax.Precision.HIGHEST if d1.dtype == jnp.float32
             else lax.Precision.DEFAULT)

@@ -122,7 +122,8 @@ def _fold_chunk(v: jax.Array, chunk: int, c1: int) -> jax.Array:
 
 
 def seg_batch_stats(pp: jax.Array, f: jax.Array, conv1_kernel: jax.Array,
-                    r: int, chunk: int) -> tuple[jax.Array, jax.Array]:
+                    r: int, chunk: int,
+                    lines=None) -> tuple[jax.Array, jax.Array]:
     """(sum, sum_of_squares) per channel of the BIAS-FREE full-res hidden
     (conv3x3 of the x r upsample of ``f``), border-exact, f32.
 
@@ -179,7 +180,8 @@ def seg_batch_stats(pp: jax.Array, f: jax.Array, conv1_kernel: jax.Array,
     q_kb = q_t + q_b + q_l + q_r - q_ck
 
     # true zero-padded border values (to add)
-    lines = _conv1_border_lines(f, conv1_kernel, r)
+    if lines is None:
+        lines = _conv1_border_lines(f, conv1_kernel, r)
     s_eb = jnp.zeros((c1,), jnp.float32)
     q_eb = jnp.zeros((c1,), jnp.float32)
     for name in ('top', 'bot', 'left', 'right'):
@@ -414,11 +416,11 @@ def _seg_core_fwd(pp, a1t, c1t, wp, bp, seeds, mask_t, rate, r, interpret):
         compiler_params=_SEQ3,
         interpret=interpret,
     )(*args)
-    return out, (pp, a1t, c1t, wp, seeds, mask_t)
+    return out, (pp, a1t, c1t, wp, bp, seeds, mask_t)
 
 
 def _seg_core_bwd(rate, r, interpret, res, dy):
-    pp, a1t, c1t, wp, seeds, mask_t = res
+    pp, a1t, c1t, wp, bp, seeds, mask_t = res
     b, h, wc, _, cc1 = pp.shape
     c1, nc = wp.shape
     chunk = cc1 // c1
@@ -464,7 +466,7 @@ def _seg_core_bwd(rate, r, interpret, res, dy):
             da1.astype(a1t.dtype),
             dc1.astype(c1t.dtype),
             dwp.astype(wp.dtype),
-            dbp[0].astype(wp.dtype),
+            dbp[0].astype(bp.dtype),
             np.zeros(seeds.shape, jax.dtypes.float0),
             dmask)
 
@@ -504,7 +506,9 @@ def seg_head_fused_train(f: jax.Array, conv1_kernel: jax.Array,
     chunk = _pick_chunk(w, c1)
 
     pp = _neighbor_pp(f, conv1_kernel, chunk)
-    s_full, q_full = seg_batch_stats(pp, f, conv1_kernel, r, chunk)
+    lines = _conv1_border_lines(f, conv1_kernel, r)
+    s_full, q_full = seg_batch_stats(pp, f, conv1_kernel, r, chunk,
+                                     lines=lines)
     n = float(b * h * w * r * r)
     mean_nb = s_full / n                       # bias-free mean
     var = q_full / n - mean_nb * mean_nb
@@ -528,18 +532,17 @@ def seg_head_fused_train(f: jax.Array, conv1_kernel: jax.Array,
     out = _seg_core(pp, a1t, c1t, wp, proj_bias, seeds, mask_t,
                     rate, r, interpret)
 
-    out = _paste_seg_borders_train(out, f, conv1_kernel, a1, c1b, wp,
+    out = _paste_seg_borders_train(out, lines, a1, c1b, wp,
                                    proj_bias, r, rate, rng_key, mask)
     mean = mean_nb + conv1_bias.astype(jnp.float32)
     return out, mean, var
 
 
-def _paste_seg_borders_train(out, f, conv1_kernel, a1, c1b, wp, bp, r,
+def _paste_seg_borders_train(out, lines, a1, c1b, wp, bp, r,
                              rate, rng_key, mask):
     """Overwrite the four 1-px border lines with exact zero-padded values
     (train variant: BN-batch-stat affine + dropout on the strips)."""
     dtype = out.dtype
-    lines = _conv1_border_lines(f, conv1_kernel, r)
     keep = 1.0 - rate
 
     def strip_mask(name, strip):

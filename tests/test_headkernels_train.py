@@ -148,6 +148,28 @@ def test_train_kernel_bf16_tolerance():
     assert float(jnp.abs(got_v - ref_v).max()) < 0.1
 
 
+def test_grad_mixed_dtypes():
+    """bf16 kernels + f32 biases (the production dtype mix): the custom
+    VJP must return cotangents matching each primal's own dtype."""
+    h, w, cin, c1, nc, r = 3, 4, 8, 16, 7, 8
+    rng = np.random.default_rng(6)
+    f, k1, b1, gamma, beta, wp, bp = _make_args(rng, h, w, cin, c1, nc)
+    f16, k16, w16 = (a.astype(jnp.bfloat16) for a in (f, k1, wp))
+
+    def loss(args):
+        ff, kk, ww, bb = args
+        y, _, _ = seg_head_fused_train(
+            ff, kk, b1, gamma, beta, BN_EPS, ww, bb, scale=r,
+            interpret=True)
+        return jnp.sum(y.astype(jnp.float32))
+
+    g = jax.grad(loss)((f16, k16, w16, bp))
+    for a, prim in zip(g, (f16, k16, w16, bp)):
+        assert a.dtype == prim.dtype
+    assert all(bool(jnp.all(jnp.isfinite(a.astype(jnp.float32))))
+               for a in g)
+
+
 def test_batchnorm_set_stats_folds_like_train_branch():
     """BatchNormParams(set_stats=...) must update running stats exactly as
     the module's own train branch does for the same batch statistics."""
