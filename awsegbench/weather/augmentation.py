@@ -54,17 +54,26 @@ class WeatherAugmentationPipeline:
     def apply_domain_adaptation_augmentation(
             self, image_u8: jax.Array, key: jax.Array,
             target_weather: Optional[str] = None) -> jax.Array:
-        """Corrupt at the fixed intensity, then style-transfer with prob p."""
+        """Corrupt at the fixed intensity, then style-transfer with prob p.
+
+        Fully jittable: with ``target_weather=None`` the uniform weather
+        pick (loader.py:331) runs as an on-device ``lax.switch`` over the
+        per-weather branches — no host sync; the ``randint`` draw (and so
+        the chosen weather per key) is identical to the former eager path.
+        """
         k_pick, k_weather, k_style = jax.random.split(key, 3)
-        if target_weather is None:
-            names = list(self.weather_intensities.keys())
-            idx = int(jax.random.randint(k_pick, (), 0, len(names)))
-            target_weather = names[idx]
-
-        augmented = apply_weather_effect(
-            image_u8, target_weather, k_weather,
-            intensity=self.weather_intensities[target_weather])
-
         do_style = jax.random.uniform(k_style, ()) < self.style_transfer_prob
-        styled = style_transfer(augmented, target_weather)
-        return jnp.where(do_style, styled, augmented)
+
+        def branch(name: str):
+            def f(img, kw):
+                aug = apply_weather_effect(
+                    img, name, kw, intensity=self.weather_intensities[name])
+                return jnp.where(do_style, style_transfer(aug, name), aug)
+            return f
+
+        if target_weather is not None:
+            return branch(target_weather)(image_u8, k_weather)
+        names = list(self.weather_intensities.keys())
+        idx = jax.random.randint(k_pick, (), 0, len(names))
+        return jax.lax.switch(idx, [branch(n) for n in names],
+                              image_u8, k_weather)

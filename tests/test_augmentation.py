@@ -55,3 +55,17 @@ class TestPipeline:
             jnp.asarray(tiny_image), jax.random.PRNGKey(i))).tobytes()
             for i in range(6)}
         assert len(outs) > 1  # different weathers/keys give different results
+
+    def test_jittable_random_pick(self, tiny_image):
+        """The facade must be jittable even with target_weather=None
+        (the weather pick is an on-device lax.switch, no host sync) and
+        bit-match the eager path per key."""
+        p = WeatherAugmentationPipeline()
+        f = jax.jit(lambda img, k:
+                    p.apply_domain_adaptation_augmentation(img, k))
+        for i in range(4):
+            key = jax.random.PRNGKey(i)
+            eager = np.asarray(p.apply_domain_adaptation_augmentation(
+                jnp.asarray(tiny_image), key))
+            jitted = np.asarray(f(jnp.asarray(tiny_image), key))
+            np.testing.assert_array_equal(jitted, eager)
