@@ -165,6 +165,7 @@ class AdverseWeatherTrainer:
         self.mesh = mesh if mesh is not None else create_mesh(
             mesh_shape=tpu_cfg.get('mesh_shape', 'auto'))
         self.n_devices = self.mesh.devices.size
+        self._pad_warned = False
         self.policy = get_policy(tpu_cfg.get('precision', 'bf16'))
         self.rngs = RngStreams(seed if seed is not None else config.get('seed', 42))
 
@@ -449,6 +450,14 @@ class AdverseWeatherTrainer:
         pad = (-b) % mult
         mask = np.ones((b + pad,), dtype=bool)
         if pad:
+            if pad * 4 >= b + pad and not self._pad_warned:
+                self._pad_warned = True
+                logger.warning(
+                    "batch %d padded to %d for the %d-device mesh: %d%% of "
+                    "BatchNorm's batch statistics are duplicate rows (the "
+                    "loss masks them; BN cannot). Use a batch size that is "
+                    "a multiple of the mesh size to avoid the bias.",
+                    b, b + pad, mult, round(100 * pad / (b + pad)))
             mask[b:] = False
 
             def _pad_arr(x):
