@@ -12,7 +12,9 @@ from .filters import (
     rgb_to_gray_cv,
     separable_filter,
 )
+from .depthkernels_train import depth_stage1_fused_train
 from .headkernels import depth_head_fused, seg_head_fused
+from .headkernels_train import seg_head_fused_train
 from .resize import resize_bilinear, resize_nearest, upsample_like
 from .upconv import upsample_conv3x3
 
@@ -22,5 +24,6 @@ __all__ = [
     "depthwise_conv3x3",
     "resize_bilinear", "resize_nearest", "upsample_like",
     "upsample_conv3x3", "seg_head_fused", "depth_head_fused",
+    "seg_head_fused_train", "depth_stage1_fused_train",
     "sr_attention", "sr_attention_reference",
 ]
