@@ -28,12 +28,14 @@ class EnsembleModel(nn.Module):
     temperature_scaling: bool = True
     head_mode: str = 'faithful'
     fused_upsample: bool = True
+    remat: bool = False  # checkpoint SegFormer encoder blocks in training
 
     def setup(self) -> None:
         self.segformer = SegFormerModel(num_classes=self.num_classes,
                                         include_depth=self.include_depth,
                                         head_mode=self.head_mode,
-                                        fused_upsample=self.fused_upsample)
+                                        fused_upsample=self.fused_upsample,
+                                        remat=self.remat)
         self.deeplabv3plus = DeepLabV3PlusModel(num_classes=self.num_classes,
                                                 include_depth=self.include_depth)
         # learnable ensemble weights, init 1/2 each (model.py:420)

@@ -28,12 +28,18 @@ def create_model(config: Config) -> nn.Module:
     include_depth = model_config.get('include_depth', True)
     head_mode = model_config.get('head_mode', 'faithful')
     fused_upsample = model_config.get('fused_upsample', True)
+    # remat: checkpoint encoder blocks in training (activation memory ↔
+    # recompute FLOPs) — enables larger per-chip train batches
+    remat = bool(model_config.get('remat',
+                                  (config.get('tpu', {}) or {}).get(
+                                      'remat', False)))
 
     if model_type == 'segformer':
         return SegFormerModel(num_classes=num_classes,
                               include_depth=include_depth,
                               head_mode=head_mode,
-                              fused_upsample=fused_upsample)
+                              fused_upsample=fused_upsample,
+                              remat=remat)
     if model_type == 'deeplabv3plus':
         return DeepLabV3PlusModel(num_classes=num_classes,
                                   include_depth=include_depth)
@@ -45,6 +51,7 @@ def create_model(config: Config) -> nn.Module:
             temperature_scaling=model_config.get('temperature_scaling', True),
             head_mode=head_mode,
             fused_upsample=fused_upsample,
+            remat=remat,
         )
     raise ValueError(f"Unknown model type: {model_type}")
 

@@ -172,20 +172,31 @@ class MiTEncoder(nn.Module):
     patch_sizes: Sequence[int] = (7, 3, 3, 3)
     strides: Sequence[int] = (4, 2, 2, 2)
     mlp_ratios: Sequence[int] = (4, 4, 4, 4)
+    remat: bool = False  # checkpoint each block: trade FLOPs for activation
+    #                      memory in training (enables larger train batches)
 
     @nn.compact
     def __call__(self, x: jax.Array, tile_info=None) -> list[jax.Array]:
         """[B, H, W, 3] → list of 4 stage features [B, H/2^{i+2}, W/2^{i+2}, C_i]."""
+        # Explicit names reproduce the auto-naming of the untransformed
+        # class, so the variable tree (and checkpoints/converters) is
+        # identical with remat on or off — nn.remat would otherwise scope
+        # params under 'CheckpointSegFormerBlock_N'.
+        block_cls = (nn.remat(SegFormerBlock, static_argnums=(2, 3))
+                     if self.remat else SegFormerBlock)
         features = []
+        blk = 0
         for i in range(len(self.hidden_sizes)):
             x = OverlapPatchEmbed(self.hidden_sizes[i], self.patch_sizes[i],
                                   self.strides[i])(x)
             b, h, w, c = x.shape
             tokens = x.reshape(b, h * w, c)
             for _ in range(self.depths[i]):
-                tokens = SegFormerBlock(self.hidden_sizes[i], self.num_heads[i],
-                                        self.sr_ratios[i], self.mlp_ratios[i])(
+                tokens = block_cls(self.hidden_sizes[i], self.num_heads[i],
+                                   self.sr_ratios[i], self.mlp_ratios[i],
+                                   name=f'SegFormerBlock_{blk}')(
                     tokens, (h, w), tile_info)
+                blk += 1
             tokens = nn.LayerNorm(epsilon=1e-6)(tokens)
             x = tokens.reshape(b, h, w, c)
             if tile_info is not None:
@@ -210,13 +221,15 @@ class SegFormerModel(nn.Module):
     fused_upsample: bool = True   # faithful path: collapse upsample into conv1
     hidden_sizes: Sequence[int] = (32, 64, 160, 256)
     depths: Sequence[int] = (2, 2, 2, 2)
+    remat: bool = False           # checkpoint encoder blocks (training memory)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
                  tile_info=None) -> Dict[str, jax.Array]:
         h, w = x.shape[1], x.shape[2]
         features = MiTEncoder(hidden_sizes=tuple(self.hidden_sizes),
-                              depths=tuple(self.depths))(x, tile_info)
+                              depths=tuple(self.depths),
+                              remat=self.remat and train)(x, tile_info)
         feat = features[-1]  # last hidden state, as model.py:193-207
 
         if self.head_mode == 'faithful':

@@ -197,3 +197,41 @@ class TestFactory:
     def test_unknown_type_raises(self):
         with pytest.raises(ValueError):
             create_model(Config({'model': {'type': 'unet'}}))
+
+
+class TestRemat:
+    """model.remat checkpoints encoder blocks in training: the variable
+    tree, forward values, and gradients must be identical to remat=False
+    (it only trades activation memory for recompute)."""
+
+    def test_remat_is_transparent(self):
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((1, 64, 64, 3)),
+            jnp.float32)
+        label = jnp.zeros((1, 64, 64), jnp.int32)
+        outs, grads = [], []
+        for remat in (False, True):
+            m = SegFormerModel(num_classes=5, include_depth=False,
+                               remat=remat)
+            v = m.init(jax.random.PRNGKey(0), x, train=False)
+            params = v['params']
+
+            def loss(p):
+                out, _ = m.apply(
+                    {'params': p, 'batch_stats': v.get('batch_stats', {})},
+                    x, train=True, rngs={'dropout': jax.random.PRNGKey(1)},
+                    mutable=['batch_stats'])
+                logits = out['segmentation']
+                oh = jax.nn.one_hot(label, 5)
+                return -jnp.mean(jnp.sum(
+                    jax.nn.log_softmax(logits) * oh, -1))
+
+            l, g = jax.value_and_grad(loss)(params)
+            outs.append(float(l))
+            grads.append(g)
+        assert outs[0] == pytest.approx(outs[1], rel=1e-6)
+        # recompute reassociation moves gradients by ~1e-5 rel
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+            grads[0], grads[1])
