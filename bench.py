@@ -78,7 +78,42 @@ def _jax_setup():
     # them across processes so repeat bench runs start hot
     jax.config.update('jax_compilation_cache_dir', '/root/.jax_compile_cache')
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
+    _require_live_backend(jax)
     return jax
+
+
+_BACKEND_CHECKED = False
+
+
+def _require_live_backend(jax, timeout_s: int = 900) -> None:
+    """Fail loudly (instead of hanging forever) when the tunneled TPU
+    backend is unreachable: the axon claim loop blocks jax.devices()
+    indefinitely during pool outages, which would otherwise eat the whole
+    benchmark budget with no artifact. Probed once per process, off the
+    main thread so the deadline is enforceable."""
+    global _BACKEND_CHECKED
+    if _BACKEND_CHECKED:
+        return
+    import threading
+    err = []
+
+    def probe():
+        try:
+            jax.devices()
+        except Exception as e:  # surfaced below
+            err.append(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        raise RuntimeError(
+            f'TPU backend init did not complete within {timeout_s}s — '
+            'the tunnel/pool looks down; aborting the benchmark instead '
+            'of hanging')
+    if err:
+        raise err[0]
+    _BACKEND_CHECKED = True
 
 
 def _cast_bf16(t):
