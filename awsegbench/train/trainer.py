@@ -435,8 +435,9 @@ class AdverseWeatherTrainer:
 
     # ------------------------------------------------------------- host utils
 
-    def _pad_batch(self, batch):
-        """Pad the batch to a multiple of the mesh size; return mask.
+    def _pad_batch(self, batch, mult: Optional[int] = None):
+        """Pad the batch to a multiple of ``mult`` (default: mesh size);
+        return mask.
 
         Padded rows are edge-duplicated real samples: the loss masks them
         out (losses/fog_density.py sample_mask) but BatchNorm batch_stats
@@ -446,7 +447,7 @@ class AdverseWeatherTrainer:
         per-step batch.
         """
         b = batch['image'].shape[0]
-        mult = self.n_devices
+        mult = self.n_devices if mult is None else mult
         pad = (-b) % mult
         mask = np.ones((b + pad,), dtype=bool)
         if pad:
@@ -489,15 +490,8 @@ class AdverseWeatherTrainer:
                 # pad the LOCAL slice to a multiple of the local device
                 # count (global batch then divides the full mesh); padded
                 # rows are masked out of the loss/metrics as usual
-                local = jax.local_device_count()
-                pad = (-bsz) % local
-                mask = np.ones((bsz + pad,), dtype=bool)
-                if pad:
-                    mask[bsz:] = False
-                    batch = {k: (np.pad(v, [(0, pad)] + [(0, 0)] *
-                                        (v.ndim - 1), mode='edge')
-                                 if isinstance(v, np.ndarray) else v)
-                             for k, v in batch.items()}
+                batch, mask = self._pad_batch(
+                    batch, mult=jax.local_device_count())
 
                 def put(x):
                     return jax.make_array_from_process_local_data(data, x)
