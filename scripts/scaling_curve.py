@@ -37,8 +37,9 @@ IMAGE_HW = (64, 128)
 MEASURE_STEPS = 3
 
 
-def child_main(n_devices: int) -> None:
-    """Runs inside the forced-CPU subprocess. Prints one JSON line."""
+def child_main(n_devices: int, model_par: int = 1) -> None:
+    """Runs inside the forced-CPU subprocess. Prints one JSON line.
+    ``model_par > 1`` builds a 2-D (data x model) mesh — the TP path."""
     import time
 
     import jax
@@ -52,7 +53,12 @@ def child_main(n_devices: int) -> None:
 
     assert len(jax.devices()) >= n_devices, (
         f"need {n_devices} devices, have {len(jax.devices())}")
-    mesh = create_mesh(devices=jax.devices()[:n_devices])
+    if model_par > 1:
+        mesh = create_mesh(devices=jax.devices()[:n_devices],
+                           mesh_shape={'data': n_devices // model_par,
+                                       'model': model_par})
+    else:
+        mesh = create_mesh(devices=jax.devices()[:n_devices])
     h, w = IMAGE_HW
 
     class _Loader:
@@ -136,6 +142,8 @@ def child_main(n_devices: int) -> None:
 
     print('SCALING ' + json.dumps({
         'n_devices': n_devices,
+        'mesh': (f'{n_devices // model_par}x{model_par} (data x model)'
+                 if model_par > 1 else f'{n_devices} (data)'),
         'global_batch': GLOBAL_BATCH,
         'image_hw': list(IMAGE_HW),
         'train_flops_per_device': train_flops,
@@ -145,7 +153,7 @@ def child_main(n_devices: int) -> None:
     }))
 
 
-def run_child(n: int) -> dict:
+def run_child(n: int, model_par: int = 1) -> dict:
     env = dict(os.environ)
     env['JAX_PLATFORMS'] = 'cpu'
     env['XLA_FLAGS'] = (env.get('XLA_FLAGS', '')
@@ -158,7 +166,7 @@ def run_child(n: int) -> dict:
         f"jax.config.update('jax_num_cpu_devices', {n})\n"
         f"sys.path.insert(0, {str(REPO / 'scripts')!r})\n"
         f"import scaling_curve\n"
-        f"scaling_curve.child_main({n})\n"
+        f"scaling_curve.child_main({n}, {model_par})\n"
     )
     proc = subprocess.run([sys.executable, '-c', code], env=env,
                           capture_output=True, text=True, timeout=3000)
@@ -172,13 +180,19 @@ def run_child(n: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument('--devices', type=int, nargs='+', default=[1, 2, 4, 8])
+    ap.add_argument('--devices', nargs='+', default=['1', '2', '4', '8'],
+                    help="mesh specs: N (data-parallel) or DxM (data x "
+                         "model tensor parallelism), e.g. 8 4x2")
     ap.add_argument('--out', default=str(REPO / 'SCALING.json'))
     args = ap.parse_args()
 
     rows = []
-    for n in args.devices:
-        row = run_child(n)
+    for spec in args.devices:
+        if 'x' in str(spec):
+            d, m = (int(v) for v in str(spec).split('x'))
+            row = run_child(d * m, m)
+        else:
+            row = run_child(int(spec))
         rows.append(row)
         print(json.dumps(row))
 
