@@ -18,6 +18,15 @@ DEFAULT_CACHE_DIR = os.environ.get('AWSEG_COMPILE_CACHE',
 
 def setup_compilation_cache(cache_dir: str | None = None) -> None:
     import jax
+    if os.environ.get('AWSEG_DISABLE_COMPILE_CACHE', '').lower() not in (
+            '', '0', 'false'):
+        # Hermetic mode: cached XLA:CPU AOT executables compiled on a host
+        # with different machine features can abort at load time
+        # (cpu_aot_loader machine-feature mismatch); callers that need
+        # deterministic behavior (driver dry runs) opt out of the cache.
+        logger.debug('Compilation cache disabled via '
+                     'AWSEG_DISABLE_COMPILE_CACHE')
+        return
     path = cache_dir or DEFAULT_CACHE_DIR
     try:
         jax.config.update('jax_compilation_cache_dir', path)
