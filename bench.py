@@ -27,6 +27,7 @@ kept as ``vs_pipeline_only``. Both cached in .bench_baseline.json.
 """
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -427,7 +428,24 @@ def main() -> None:
         lambda: measure_tpu_eval('faithful'))
     fused, fused_mfu = _measure_with_retry(
         lambda: measure_tpu_eval('fused'))
-    train_ips, train_mfu = _measure_with_retry(measure_tpu_train)
+    train_note = None
+    try:
+        train_ips, train_mfu = _measure_with_retry(measure_tpu_train)
+    except Exception as e:
+        # The fused train-head kernels are the newest on-chip surface; if
+        # they fail at this production shape, fall back to the XLA train
+        # path so the run still reports a real train number — loudly.
+        print(f"bench: fused train path failed ({e!r}); retrying with "
+              f"AWSEG_DISABLE_TRAIN_HEADS=1", file=sys.stderr)
+        os.environ['AWSEG_DISABLE_TRAIN_HEADS'] = '1'
+        try:
+            train_ips, train_mfu = _measure_with_retry(measure_tpu_train)
+            train_note = ('fused train-head kernels failed on this '
+                          'backend; measured the XLA train path instead')
+        except Exception as e2:  # train is one metric of several — report
+            print(f"bench: train bench failed: {e2!r}", file=sys.stderr)
+            train_ips = train_mfu = None
+            train_note = f'train bench failed: {type(e2).__name__}'
     try:
         disk_png = _measure_with_retry(lambda: measure_disk_eval(False))
         disk_raw = _measure_with_retry(lambda: measure_disk_eval(True))
@@ -444,10 +462,11 @@ def main() -> None:
         'fused_value': round(fused, 3),
         'fused_vs_baseline': round(fused / ref_e2e, 2),
         'fused_mfu': round(fused_mfu, 4),
-        'train_value': round(train_ips, 3),
+        'train_value': None if train_ips is None else round(train_ips, 3),
         'train_unit': 'images/sec/chip @512x1024 B8 one-jit train step '
                       '(corrupt+augment+fwd+bwd+clip+AdamW, faithful)',
-        'train_mfu': round(train_mfu, 4),
+        'train_mfu': None if train_mfu is None else round(train_mfu, 4),
+        'train_note': train_note,
         'disk_png_value': None if disk_png is None else round(disk_png, 3),
         'disk_raw_value': None if disk_raw is None else round(disk_raw, 3),
         'disk_note': 'disk-to-metrics on this 1-core host: real PNG tree '
