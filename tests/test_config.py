@@ -99,3 +99,27 @@ class TestDefaultsAndValidation:
         c.set('data.image_size', 512)
         with pytest.raises(ValueError):
             validate_config(c)
+
+
+class TestCompilationCacheGate:
+    """AWSEG_DISABLE_COMPILE_CACHE must follow the repo-wide env-flag
+    convention: '', '0', 'false' mean unset (core/cache.py hermetic mode
+    for driver dry runs)."""
+
+    @pytest.mark.parametrize('val,disabled', [
+        ('1', True), ('true', True), ('0', False), ('false', False),
+        ('', False),
+    ])
+    def test_disable_flag_parsing(self, monkeypatch, val, disabled):
+        import jax
+
+        from awsegbench.core import cache
+
+        monkeypatch.setenv('AWSEG_DISABLE_COMPILE_CACHE', val)
+        seen = []
+        monkeypatch.setattr(
+            jax.config, 'update',
+            lambda name, v: seen.append((name, v)))
+        cache.setup_compilation_cache('/tmp/cache_gate_test')
+        touched = any(n == 'jax_compilation_cache_dir' for n, _ in seen)
+        assert touched == (not disabled)
