@@ -107,9 +107,25 @@ class EarlyStopping:
         if self.counter >= self.patience:
             self.early_stop = True
             if self.restore_best_weights and self.best_weights:
-                state = state.replace(params=self.best_weights['params'],
-                                      batch_stats=self.best_weights['batch_stats'])
+                state = state.replace(
+                    params=_shard_like(self.best_weights['params'],
+                                       state.params),
+                    batch_stats=_shard_like(self.best_weights['batch_stats'],
+                                            state.batch_stats))
         return self.early_stop, state
+
+
+def _shard_like(snapshot: Any, live: Any) -> Any:
+    """Place a host-numpy snapshot back on device with the live state's
+    shardings. Snapshots are taken as numpy (host RAM, cheap); restoring
+    them bare would hand the jitted train step unsharded arrays — on a
+    model-axis mesh that silently drops the tp_param_shardings layout that
+    load_checkpoint re-applies. Copying each live leaf's sharding keeps
+    restore correct on any mesh (DP-replicated or TP-sharded)."""
+    return jax.tree_util.tree_map(
+        lambda s, l: jax.device_put(s, l.sharding)
+        if hasattr(l, 'sharding') else s,
+        snapshot, live)
 
 
 def fog_density_from_weather(weather_ids: jax.Array, key: jax.Array,

@@ -29,13 +29,20 @@ kept as ``vs_pipeline_only``. Both cached in .bench_baseline.json.
 import json
 import os
 import sys
+import threading
 import time
+import traceback
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 BASELINE_CACHE = REPO / '.bench_baseline.json'
+# Committed snapshot of the last successful run: on a TPU-pool outage the
+# benchmark degrades to these numbers flagged ``"stale": true`` instead of
+# producing no artifact at all (round-3 verdict item 2 — BENCH_r03.json was
+# rc=1/parsed:null after a 900s tunnel outage).
+LASTGOOD = REPO / '.bench_lastgood.json'
 IMAGE_HW = (512, 1024)
 # Since round 2 the faithful heads fuse their ×32 upsample (ops/upconv.py,
 # ops/headkernels.py) so full-res 256-channel activations no longer
@@ -419,18 +426,67 @@ def _measure_with_retry(fn, attempts: int = 2):
             time.sleep(20)
 
 
-def main() -> None:
+# Threads abandoned by an expired deadline (they may be stuck in a jax RPC
+# that never returns); if any are still alive when the stale artifact is
+# emitted, the process must os._exit — a normal exit would join them forever.
+_ABANDONED = []
+MEASURE_DEADLINE_S = int(os.environ.get('AWSEG_BENCH_MEASURE_TIMEOUT', 1800))
+
+
+def _run_with_deadline(fn, label: str, timeout_s: int = None):
+    """Run one measurement on a worker thread with a hard wall-clock cap.
+
+    The backend-init probe (_require_live_backend) covers outages at
+    startup, but a tunnel that dies mid-run leaves device fetches blocked
+    forever inside C extension code that no signal handler can interrupt —
+    only an abandonable thread bounds that."""
+    timeout_s = MEASURE_DEADLINE_S if timeout_s is None else timeout_s
+    box = {}
+
+    def work():
+        try:
+            box['value'] = fn()
+        except BaseException as e:  # re-raised on the caller thread
+            box['error'] = e
+
+    t = threading.Thread(target=work, daemon=True, name=f'bench-{label}')
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        _ABANDONED.append(t)
+        raise RuntimeError(
+            f'{label} did not complete within {timeout_s}s — backend '
+            'looks hung mid-run; abandoning the measurement')
+    if 'error' in box:
+        raise box['error']
+    return box['value']
+
+
+def _gather(fresh: dict) -> dict:
+    """Run every measurement; mutates ``fresh`` after each success so a
+    mid-run abort can still ship partial fresh numbers in the stale
+    artifact."""
     base = reference_baseline()
     ref_e2e = base['ref_e2e_images_per_sec']
     ref_pipe = base.get('ref_pipeline_images_per_sec',
                         base.get('ref_images_per_sec', ref_e2e))
-    faithful, faithful_mfu = _measure_with_retry(
-        lambda: measure_tpu_eval('faithful'))
-    fused, fused_mfu = _measure_with_retry(
-        lambda: measure_tpu_eval('fused'))
+    faithful, faithful_mfu = _run_with_deadline(
+        lambda: _measure_with_retry(lambda: measure_tpu_eval('faithful')),
+        'eval-faithful')
+    fresh.update({'value': round(faithful, 3),
+                  'vs_baseline': round(faithful / ref_e2e, 2),
+                  'mfu': round(faithful_mfu, 4),
+                  'vs_pipeline_only': round(faithful / ref_pipe, 2)})
+    fused, fused_mfu = _run_with_deadline(
+        lambda: _measure_with_retry(lambda: measure_tpu_eval('fused')),
+        'eval-fused')
+    fresh.update({'fused_value': round(fused, 3),
+                  'fused_vs_baseline': round(fused / ref_e2e, 2),
+                  'fused_mfu': round(fused_mfu, 4)})
     train_note = None
     try:
-        train_ips, train_mfu = _measure_with_retry(measure_tpu_train)
+        train_ips, train_mfu = _run_with_deadline(
+            lambda: _measure_with_retry(measure_tpu_train), 'train')
     except Exception as e:
         # The fused train-head kernels are the newest on-chip surface; if
         # they fail at this production shape, fall back to the XLA train
@@ -439,20 +495,33 @@ def main() -> None:
               f"AWSEG_DISABLE_TRAIN_HEADS=1", file=sys.stderr)
         os.environ['AWSEG_DISABLE_TRAIN_HEADS'] = '1'
         try:
-            train_ips, train_mfu = _measure_with_retry(measure_tpu_train)
+            train_ips, train_mfu = _run_with_deadline(
+                lambda: _measure_with_retry(measure_tpu_train),
+                'train-xla-fallback')
             train_note = ('fused train-head kernels failed on this '
                           'backend; measured the XLA train path instead')
         except Exception as e2:  # train is one metric of several — report
             print(f"bench: train bench failed: {e2!r}", file=sys.stderr)
             train_ips = train_mfu = None
             train_note = f'train bench failed: {type(e2).__name__}'
+    fresh.update({
+        'train_value': None if train_ips is None else round(train_ips, 3),
+        'train_mfu': None if train_mfu is None else round(train_mfu, 4),
+        'train_note': train_note})
     try:
-        disk_png = _measure_with_retry(lambda: measure_disk_eval(False))
-        disk_raw = _measure_with_retry(lambda: measure_disk_eval(True))
+        disk_png = _run_with_deadline(
+            lambda: _measure_with_retry(lambda: measure_disk_eval(False)),
+            'disk-png')
+        disk_raw = _run_with_deadline(
+            lambda: _measure_with_retry(lambda: measure_disk_eval(True)),
+            'disk-raw')
     except Exception as e:  # disk bench is auxiliary — never sink the run
         print(f"bench: disk mode failed: {e!r}", file=sys.stderr)
         disk_png = disk_raw = None
-    print(json.dumps({
+    fresh.update({
+        'disk_png_value': None if disk_png is None else round(disk_png, 3),
+        'disk_raw_value': None if disk_raw is None else round(disk_raw, 3)})
+    return {
         'metric': 'ensemble_4weather_eval_throughput',
         'value': round(faithful, 3),
         'unit': 'images/sec/chip @512x1024 B32 (head_mode=faithful, '
@@ -480,7 +549,50 @@ def main() -> None:
                          'architecture-equivalent torch ensemble on this '
                          'host CPU, perfect-overlap assumption '
                          '(bench_baseline.py)',
-    }))
+        'stale': False,
+    }
+
+
+def _stale_artifact(error: BaseException, fresh: dict) -> dict:
+    """Last-good numbers overlaid with any fresh partials, flagged stale —
+    a pool outage must never zero out a round's perf record."""
+    out = {'metric': 'ensemble_4weather_eval_throughput', 'value': None}
+    if LASTGOOD.exists():
+        try:
+            out = json.loads(LASTGOOD.read_text())
+        except Exception as e:
+            print(f'bench: unreadable last-good cache: {e!r}',
+                  file=sys.stderr)
+    out.update(fresh)
+    out['stale'] = True
+    out['stale_note'] = (
+        'the benchmark aborted before completing; numeric fields are the '
+        'cached last-good measurements'
+        + (f' except these, measured fresh this run: {sorted(fresh)}'
+           if fresh else ''))
+    out['error'] = repr(error)
+    return out
+
+
+def main() -> None:
+    fresh = {}
+    try:
+        result = _gather(fresh)
+    except BaseException as e:
+        traceback.print_exc()
+        stale = _stale_artifact(e, fresh)
+        print(json.dumps(stale))
+        sys.stdout.flush()
+        if any(t.is_alive() for t in _ABANDONED):
+            # hung backend threads would block a normal interpreter exit
+            os._exit(0)
+        sys.exit(0)
+    try:
+        LASTGOOD.write_text(json.dumps(result, indent=2))
+    except OSError as e:
+        print(f'bench: could not write last-good cache: {e!r}',
+              file=sys.stderr)
+    print(json.dumps(result))
 
 
 if __name__ == '__main__':

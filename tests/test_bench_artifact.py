@@ -1,0 +1,124 @@
+"""The benchmark must emit a parseable JSON artifact even when the TPU
+backend is down or dies mid-run (round-3 verdict item 2: BENCH_r03.json
+ended rc=1/parsed:null after a 900s pool outage).
+
+These tests drive ``bench.main()`` with the measurement layer stubbed to
+fail in the ways a tunnel outage actually fails — init deadline expiry,
+mid-run hang, partial completion — and assert the printed line is valid
+JSON carrying the last-good numbers flagged ``"stale": true``.
+"""
+
+import importlib.util
+import json
+import sys
+import time
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+@pytest.fixture()
+def bench(tmp_path, monkeypatch):
+    """A fresh bench module instance whose last-good cache lives in a
+    tempdir (so tests never clobber the committed seed)."""
+    spec = importlib.util.spec_from_file_location(
+        'bench_under_test', REPO / 'bench.py')
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.LASTGOOD = tmp_path / 'lastgood.json'
+    # keep the reference-baseline lookup out of these tests entirely
+    monkeypatch.setattr(mod, 'reference_baseline',
+                        lambda: {'ref_e2e_images_per_sec': 0.05})
+    return mod
+
+
+def _run_main(bench, capsys):
+    with pytest.raises(SystemExit) as exc:
+        bench.main()
+    assert exc.value.code == 0
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def test_outage_at_init_emits_stale_lastgood(bench, capsys, monkeypatch):
+    bench.LASTGOOD.write_text(json.dumps(
+        {'metric': 'ensemble_4weather_eval_throughput', 'value': 168.4,
+         'train_value': 20.1}))
+
+    def boom(mode):
+        raise RuntimeError('TPU backend init did not complete within 900s')
+
+    monkeypatch.setattr(bench, 'measure_tpu_eval', boom)
+    out = _run_main(bench, capsys)
+    assert out['stale'] is True
+    assert out['value'] == 168.4          # last-good survives the outage
+    assert out['train_value'] == 20.1
+    assert '900s' in out['error']
+
+
+def test_midrun_abort_keeps_fresh_partials(bench, capsys, monkeypatch):
+    bench.LASTGOOD.write_text(json.dumps(
+        {'metric': 'ensemble_4weather_eval_throughput', 'value': 100.0,
+         'fused_value': 150.0}))
+    calls = []
+
+    def eval_then_die(mode):
+        calls.append(mode)
+        if mode == 'faithful':
+            return 200.0, 0.25           # fresh faithful number lands
+        raise RuntimeError('Socket closed')  # tunnel dies before fused
+
+    monkeypatch.setattr(bench, 'measure_tpu_eval', eval_then_die)
+    monkeypatch.setattr(bench, '_measure_with_retry', lambda fn, **kw: fn())
+    out = _run_main(bench, capsys)
+    assert out['stale'] is True
+    assert out['value'] == 200.0          # fresh partial overrides cache
+    assert out['mfu'] == 0.25
+    assert out['fused_value'] == 150.0    # unreached metric stays cached
+    assert 'value' in out['stale_note'] and 'fused' not in sorted(
+        k for k in ('value', 'mfu') if k in out['stale_note'])
+
+
+def test_no_lastgood_still_parseable(bench, capsys, monkeypatch):
+    def boom(mode):
+        raise RuntimeError('UNAVAILABLE: tunnel down')
+
+    monkeypatch.setattr(bench, 'measure_tpu_eval', boom)
+    monkeypatch.setattr(bench, '_measure_with_retry', lambda fn, **kw: fn())
+    out = _run_main(bench, capsys)
+    assert out['stale'] is True
+    assert out['value'] is None
+    assert out['metric'] == 'ensemble_4weather_eval_throughput'
+
+
+def test_deadline_abandons_hung_measurement(bench):
+    def hang():
+        time.sleep(60)
+
+    with pytest.raises(RuntimeError, match='did not complete within'):
+        bench._run_with_deadline(hang, 'hung-probe', timeout_s=1)
+    assert bench._ABANDONED and bench._ABANDONED[-1].is_alive()
+    bench._ABANDONED.clear()
+
+
+def test_success_writes_lastgood(bench, capsys, monkeypatch):
+    monkeypatch.setattr(bench, 'measure_tpu_eval',
+                        lambda mode: (300.0, 0.3) if mode == 'faithful'
+                        else (400.0, 0.4))
+    monkeypatch.setattr(bench, 'measure_tpu_train', lambda: (50.0, 0.12))
+    monkeypatch.setattr(bench, 'measure_disk_eval', lambda raw: 250.0)
+    bench.main()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert out['stale'] is False
+    assert out['value'] == 300.0 and out['train_value'] == 50.0
+    cached = json.loads(bench.LASTGOOD.read_text())
+    assert cached['value'] == 300.0      # next outage will serve these
+
+
+def test_committed_lastgood_seed_is_valid():
+    seed = json.loads((REPO / '.bench_lastgood.json').read_text())
+    assert seed['metric'] == 'ensemble_4weather_eval_throughput'
+    assert seed['value'] and seed['vs_baseline'] > 1

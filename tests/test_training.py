@@ -261,6 +261,54 @@ class TestTrainerIntegration:
         vm = tp.validate_epoch()
         assert 'val_miou' in vm
 
+    def test_early_stop_restore_preserves_tp_sharding(
+            self, test_config, tmp_path, synthetic_dataset_dir):
+        """VERDICT r3 weak #5: EarlyStopping's best-weight restore must
+        re-apply the model-axis shardings on a 2-D (data×model) mesh —
+        a bare host-numpy restore silently drops the tp_param_shardings
+        layout that load_checkpoint carefully re-applies, and the next
+        jitted train step then runs on unsharded params."""
+        from awsegbench.core.mesh import MODEL_AXIS
+
+        tp = _trainer(test_config, tmp_path, synthetic_dataset_dir,
+                      seed=11,
+                      tpu={'mesh_shape': {'data': 4, 'model': 2},
+                           'precision': test_config.to_dict()['tpu'][
+                               'precision'],
+                           'tp_min_features': 8})
+
+        def spec_map(tree):
+            specs = {}
+            jax.tree_util.tree_map_with_path(
+                lambda p, x: specs.__setitem__(
+                    str(p), str(getattr(getattr(x, 'sharding', None),
+                                        'spec', None))), tree)
+            return specs
+
+        best_params = tp.state.params
+        before = spec_map(best_params)
+        assert any(MODEL_AXIS in s for s in before.values())
+
+        es = EarlyStopping(patience=1, min_delta=0.0,
+                           restore_best_weights=True)
+        stop, state = es(1.0, tp.state)          # snapshot best (as numpy)
+        assert not stop
+        perturbed = state.replace(params=jax.tree_util.tree_map(
+            lambda x: x + 1.0, state.params))     # make restore observable
+        stop, restored = es(2.0, perturbed)       # worse → stop + restore
+        assert stop
+
+        assert spec_map(restored.params) == before, \
+            'restore dropped the model-axis shardings'
+        jax.tree_util.tree_map(
+            lambda r, b: np.testing.assert_allclose(np.asarray(r),
+                                                    np.asarray(b)),
+            restored.params, best_params)
+
+        tp.state = restored                       # sharded step still runs
+        metrics = tp.train_epoch()
+        assert np.isfinite(metrics['train_loss'])
+
     def test_peek_does_not_perturb_dataset_rng(self, test_config, tmp_path,
                                                synthetic_dataset_dir):
         """The shape peek (``ds[0]``) must not advance the dataset RNG:
