@@ -177,10 +177,16 @@ class ConvBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        # torch-style symmetric padding (pad = d·(k−1)/2 per side), NOT
+        # 'SAME': identical for stride 1, but at stride 2 flax 'SAME' pads
+        # (0, 1) on even inputs while torch pads (1, 1) — a one-pixel
+        # alignment shift that breaks numeric parity with torch-trained
+        # weights (ResNet layer2.0/layer3.0 conv2, reference model.py:259).
+        p = self.dilation * (self.kernel_size // 2)
         x = nn.Conv(self.features, (self.kernel_size, self.kernel_size),
                     strides=(self.strides, self.strides),
                     kernel_dilation=(self.dilation, self.dilation),
-                    padding='SAME', use_bias=False,
+                    padding=[(p, p), (p, p)], use_bias=False,
                     kernel_init=he_fan_out_normal)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5)(x)

@@ -244,13 +244,17 @@ def measure_tpu_eval(head_mode: str):
 TRAIN_BATCH = 8
 TRAIN_MEASURE = 6
 
+_TRAIN_CACHE = {}
 
-def measure_tpu_train():
-    """Full one-jit train step (corrupt+augment+fwd+bwd+clip+AdamW) on the
-    faithful ensemble at B8. Returns (images_per_sec, mfu)."""
+
+def build_train():
+    """Compiled one-jit train step (corrupt+augment+fwd+bwd+clip+AdamW) on
+    the faithful ensemble at B8; cached. Returns (step_fn, initial_carry,
+    flops_of_compiled)."""
+    if 'train' in _TRAIN_CACHE:
+        return _TRAIN_CACHE['train']
     jax = _jax_setup()
     import jax.numpy as jnp
-    import numpy as np
     import optax
 
     from awsegbench.data.pipeline import prepare_batch
@@ -297,8 +301,18 @@ def measure_tpu_train():
         return (params, new_bs, opt_state, i + 1)
 
     f = jax.jit(step, donate_argnums=(0,))
-    batches = _device_batches(TRAIN_BATCH, 2, seed=1)
     carry = (params, bstats, opt_state, jnp.zeros((), jnp.int32))
+    _TRAIN_CACHE['train'] = (f, carry, None)
+    return _TRAIN_CACHE['train']
+
+
+def measure_tpu_train():
+    """Tensor-fed train step at B8. Returns (images_per_sec, mfu)."""
+    jax = _jax_setup()
+    import numpy as np
+
+    f, carry, _ = build_train()
+    batches = _device_batches(TRAIN_BATCH, 2, seed=1)
 
     def args_of(b):
         return (b['image'], b['label'], b['weather_id'], b['keys'])
@@ -317,7 +331,57 @@ def measure_tpu_train():
     elapsed = time.perf_counter() - t0
     sec_per_step = elapsed / TRAIN_MEASURE
     mfu = (flops / sec_per_step) / PEAK_FLOPS_BF16 if flops else 0.0
+    # keep the advanced carry so the disk-fed mode reuses the hot program
+    _TRAIN_CACHE['train'] = (f, carry, flops)
     return TRAIN_MEASURE * TRAIN_BATCH / elapsed, mfu
+
+
+def measure_disk_train() -> float:
+    """Disk → gradients throughput: the decoded-array raw cache (the
+    TFRecord-analog production path) + threaded host pipeline + prefetch
+    feeding the SAME compiled train step as the tensor-fed measurement —
+    i.e. real train disk-to-metrics (VERDICT r3 item 7: the disk bench
+    previously measured eval only)."""
+    jax = _jax_setup()
+    import jax.numpy as jnp
+    import numpy as np
+    from awsegbench.core.prng import per_sample_keys
+    from awsegbench.data import CityscapesKITTIDataset
+    from awsegbench.data.pipeline import BatchIterator, prefetch_to_device
+
+    root = ensure_disk_tree()
+    ds = CityscapesKITTIDataset(str(root), 'val', image_size=IMAGE_HW,
+                                seed=0,
+                                decoded_cache=str(REPO / '.bench_cache'))
+    assert len(ds) >= DISK_IMAGES, 'disk tree scan failed'
+    ds.samples = ds.samples[:DISK_IMAGES]
+    f, carry, _ = build_train()
+    key = jax.random.PRNGKey(5)
+
+    def place(b):
+        i = int(b['sample_id'][0])
+        return (jax.device_put(b['image']),
+                jax.device_put(b['label']),
+                jax.device_put(b['weather_id']),
+                jax.device_put(per_sample_keys(
+                    jax.random.fold_in(key, i),
+                    jnp.asarray(b['sample_id']))))
+
+    def sweep(carry):
+        loader = BatchIterator(ds, batch_size=TRAIN_BATCH, shuffle=False,
+                               num_threads=4)
+        n = 0
+        t0 = time.perf_counter()
+        for args in prefetch_to_device(loader, place, lookahead=1):
+            carry = f(carry, *args)
+            n += args[0].shape[0]
+        np.asarray(carry[3])  # completion barrier
+        return n / (time.perf_counter() - t0), carry
+
+    _, carry = sweep(carry)      # warmup: compile reuse + cache fill
+    rate, carry = sweep(carry)   # steady-state disk-to-gradients rate
+    _TRAIN_CACHE['train'] = (f, carry, _TRAIN_CACHE['train'][2])
+    return rate
 
 
 DISK_IMAGES = 96
@@ -518,9 +582,19 @@ def _gather(fresh: dict) -> dict:
     except Exception as e:  # disk bench is auxiliary — never sink the run
         print(f"bench: disk mode failed: {e!r}", file=sys.stderr)
         disk_png = disk_raw = None
+    disk_train = None
+    if train_ips is not None:
+        try:
+            disk_train = _run_with_deadline(
+                lambda: _measure_with_retry(measure_disk_train),
+                'disk-train')
+        except Exception as e:
+            print(f"bench: disk train mode failed: {e!r}", file=sys.stderr)
     fresh.update({
         'disk_png_value': None if disk_png is None else round(disk_png, 3),
-        'disk_raw_value': None if disk_raw is None else round(disk_raw, 3)})
+        'disk_raw_value': None if disk_raw is None else round(disk_raw, 3),
+        'disk_train_value': (None if disk_train is None
+                             else round(disk_train, 3))})
     return {
         'metric': 'ensemble_4weather_eval_throughput',
         'value': round(faithful, 3),
@@ -538,9 +612,12 @@ def _gather(fresh: dict) -> dict:
         'train_note': train_note,
         'disk_png_value': None if disk_png is None else round(disk_png, 3),
         'disk_raw_value': None if disk_raw is None else round(disk_raw, 3),
+        'disk_train_value': (None if disk_train is None
+                             else round(disk_train, 3)),
         'disk_note': 'disk-to-metrics on this 1-core host: real PNG tree '
                      '(threaded decode) and decoded-array raw cache (the '
-                     'TFRecord-analog production path)',
+                     'TFRecord-analog production path); disk_train feeds '
+                     'the raw cache into the full train step',
         'vs_pipeline_only': round(faithful / ref_pipe, 2),
         'ref_e2e_images_per_sec': round(ref_e2e, 4),
         'mfu_note': 'mfu = compiled-HLO flops / elapsed / 197e12 (v5e bf16 '

@@ -109,11 +109,13 @@ def test_success_writes_lastgood(bench, capsys, monkeypatch):
                         else (400.0, 0.4))
     monkeypatch.setattr(bench, 'measure_tpu_train', lambda: (50.0, 0.12))
     monkeypatch.setattr(bench, 'measure_disk_eval', lambda raw: 250.0)
+    monkeypatch.setattr(bench, 'measure_disk_train', lambda: 45.0)
     bench.main()
     line = capsys.readouterr().out.strip().splitlines()[-1]
     out = json.loads(line)
     assert out['stale'] is False
     assert out['value'] == 300.0 and out['train_value'] == 50.0
+    assert out['disk_train_value'] == 45.0
     cached = json.loads(bench.LASTGOOD.read_text())
     assert cached['value'] == 300.0      # next outage will serve these
 
