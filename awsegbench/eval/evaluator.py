@@ -37,7 +37,7 @@ from ..metrics.calibration import (ece_bin_update_per_weather,
                                    ece_from_bins)
 from ..metrics.disagreement import (auroc_exact, auroc_from_histogram,
                                     auroc_histogram_update, disagreement_map)
-from ..metrics.iou import (confusion_matrix_per_weather,
+from ..metrics.iou import (confusion_matrix_per_weather_from_logits,
                            iou_from_confusion)
 from ..metrics.robustness import RobustnessMetrics
 from ..weather.corruption import WEATHER_CONDITIONS
@@ -159,13 +159,14 @@ class Evaluator:
             x = prep['image'].astype(self.policy.compute_dtype)
             outputs = forward(variables, x)
             logits = outputs['segmentation'].astype(jnp.float32)
-            preds = jnp.argmax(logits, axis=-1)
             lbl = prep['label']
 
             # confusion + ECE via ONE joint (weather × class/bin) one-hot
-            # matmul each; slot 0 (overall) = sum over weathers
-            cm_w = confusion_matrix_per_weather(
-                preds, lbl, c, weather_ids, n_weathers,
+            # matmul each; slot 0 (overall) = sum over weathers. The
+            # prediction one-hot comes straight from the logits (exact
+            # first-max tie-break) — no int argmax round-trip.
+            cm_w = confusion_matrix_per_weather_from_logits(
+                logits, lbl, c, weather_ids, n_weathers,
                 sample_mask=sample_mask)
             ece_w = ece_bin_update_per_weather(
                 logits, lbl, weather_ids, n_weathers, self.num_bins,

@@ -53,6 +53,72 @@ def confusion_matrix(predictions: jax.Array, targets: jax.Array,
     return cm
 
 
+def argmax_onehot(logits: jax.Array, axis: int = -1,
+                  dtype=jnp.bfloat16) -> jax.Array:
+    """One-hot of argmax computed directly from logits — no int argmax
+    round-trip (VERDICT r3 item 3b: fuse argmax into the CM one-hot
+    matmul). Tie-break matches ``jnp.argmax`` exactly (first maximum wins):
+    of the positions equal to the row max, only the first is hot.
+
+    0/1 values are exact in bf16, so the downstream f32-accumulated count
+    matmul stays exact."""
+    m = jnp.max(logits, axis=axis, keepdims=True)
+    is_max = logits == m
+    first = jnp.cumsum(is_max.astype(jnp.int32), axis=axis) == 1
+    return (is_max & first).astype(dtype)
+
+
+def confusion_matrix_from_logits(logits: jax.Array, targets: jax.Array,
+                                 num_classes: int, ignore_index: int = 255,
+                                 sample_mask: jax.Array | None = None
+                                 ) -> jax.Array:
+    """[C, C] confusion matrix straight from NHWC logits (see
+    :func:`argmax_onehot`); bit-identical to argmax + confusion_matrix."""
+    onehot_p = argmax_onehot(logits, axis=-1).reshape(-1, logits.shape[-1])
+    tgts = targets.reshape(-1).astype(jnp.int32)
+    valid = tgts != ignore_index
+    if sample_mask is not None:
+        per_sample = int(np.prod(targets.shape[1:])) if targets.ndim > 1 else 1
+        valid = valid & jnp.repeat(sample_mask.astype(bool), per_sample)
+    tgts_safe = jnp.clip(tgts, 0, num_classes - 1)
+    classes = jnp.arange(num_classes, dtype=jnp.int32)
+    onehot_t = ((tgts_safe[:, None] == classes[None, :]) & valid[:, None]
+                ).astype(jnp.bfloat16)
+    return jax.lax.dot_general(
+        onehot_t, onehot_p,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def confusion_matrix_per_weather_from_logits(
+        logits: jax.Array, targets: jax.Array, num_classes: int,
+        weather_ids: jax.Array, n_weathers: int, ignore_index: int = 255,
+        sample_mask: jax.Array | None = None) -> jax.Array:
+    """[n_weathers, C, C] confusion matrices straight from NHWC logits:
+    the prediction one-hot comes from :func:`argmax_onehot` (no int argmax
+    materialization) and feeds the same joint one-hot matmul as
+    :func:`confusion_matrix_per_weather` — bit-identical counts."""
+    onehot_p = argmax_onehot(logits, axis=-1).reshape(
+        -1, logits.shape[-1])                                   # [N, C]
+    tgts = targets.reshape(-1).astype(jnp.int32)
+    per_sample = int(np.prod(targets.shape[1:])) if targets.ndim > 1 else 1
+    wid = jnp.repeat(weather_ids.astype(jnp.int32), per_sample)
+    valid = tgts != ignore_index
+    if sample_mask is not None:
+        valid = valid & jnp.repeat(sample_mask.astype(bool), per_sample)
+
+    tgts_safe = jnp.clip(tgts, 0, num_classes - 1)
+    joint = wid * num_classes + tgts_safe
+    rows = jnp.arange(n_weathers * num_classes, dtype=jnp.int32)
+    onehot_joint = ((joint[:, None] == rows[None, :]) & valid[:, None]
+                    ).astype(jnp.bfloat16)
+    cm = jax.lax.dot_general(
+        onehot_joint, onehot_p,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return cm.reshape(n_weathers, num_classes, num_classes)
+
+
 def confusion_matrix_per_weather(predictions: jax.Array, targets: jax.Array,
                                  num_classes: int, weather_ids: jax.Array,
                                  n_weathers: int, ignore_index: int = 255,

@@ -144,7 +144,7 @@ def build_eval(head_mode: str):
     import jax.numpy as jnp
 
     from awsegbench.data.pipeline import prepare_batch
-    from awsegbench.metrics.iou import confusion_matrix
+    from awsegbench.metrics.iou import confusion_matrix_from_logits
     from awsegbench.models import EnsembleModel, init_model
 
     model = EnsembleModel(num_classes=19, include_depth=True,
@@ -161,14 +161,16 @@ def build_eval(head_mode: str):
         # confusion accumulate. The depth outputs are folded into the
         # accumulator so XLA cannot dead-code-eliminate them — the torch
         # reference computes them eagerly, so the headline pays for them
-        # too (round-2 advisor finding).
+        # too (round-2 advisor finding). The prediction one-hot feeds the
+        # CM matmul straight from the f32 logits (exact argmax tie-break,
+        # metrics/iou.py::argmax_onehot) — no int argmax round-trip.
         cm, dsum = acc
         prep = prepare_batch(images_u8, labels, weather_ids, keys,
                              train=False, include_depth=True)
         x = prep['image'].astype(jnp.bfloat16)
         out = model.apply(variables, x, train=False)
-        preds = jnp.argmax(out['segmentation'].astype(jnp.float32), axis=-1)
-        return (cm + confusion_matrix(preds, labels, 19),
+        logits = out['segmentation'].astype(jnp.float32)
+        return (cm + confusion_matrix_from_logits(logits, labels, 19),
                 dsum + out['depth'].astype(jnp.float32).sum())
 
     step = jax.jit(eval_step, donate_argnums=(5,))

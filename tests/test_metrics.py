@@ -18,7 +18,11 @@ from awsegbench.metrics.disagreement import (EnsembleDisagreementMetrics,
                                              auroc_histogram_update,
                                              disagreement_map,
                                              jensen_shannon_divergence)
-from awsegbench.metrics.iou import (IoUMetrics, confusion_matrix,
+from awsegbench.metrics.iou import (IoUMetrics, argmax_onehot,
+                                    confusion_matrix,
+                                    confusion_matrix_from_logits,
+                                    confusion_matrix_per_weather,
+                                    confusion_matrix_per_weather_from_logits,
                                     iou_from_confusion)
 from awsegbench.metrics.robustness import RobustnessMetrics
 
@@ -83,6 +87,53 @@ class TestIoU:
         oracle = (preds[keep] == targets[keep]).mean()
         ours = IoUMetrics(5).compute_pixel_accuracy(preds, targets)
         assert abs(ours - oracle) < 1e-6
+
+
+class TestArgmaxOnehotFusion:
+    """The from-logits CM path (VERDICT r3 item 3b) must be bit-identical
+    to argmax + one-hot, including first-max tie-breaks."""
+
+    def _tied_logits(self, seed, b=2, h=8, w=12, c=7):
+        # logits drawn from a 3-value set → plenty of within-row ties
+        rng = np.random.default_rng(seed)
+        logits = rng.integers(0, 3, (b, h, w, c)).astype(np.float32)
+        labels = rng.integers(0, c, (b, h, w)).astype(np.int32)
+        labels[0, :2, :2] = 255
+        return jnp.asarray(logits), jnp.asarray(labels)
+
+    def test_onehot_matches_argmax_under_ties(self):
+        logits, _ = self._tied_logits(0)
+        oh = np.asarray(argmax_onehot(logits))
+        assert np.all(oh.sum(-1) == 1.0)
+        np.testing.assert_array_equal(oh.argmax(-1),
+                                      np.asarray(jnp.argmax(logits, -1)))
+
+    def test_cm_from_logits_bit_identical(self):
+        logits, labels = self._tied_logits(1)
+        preds = jnp.argmax(logits, axis=-1)
+        want = np.asarray(confusion_matrix(preds, labels, 7))
+        got = np.asarray(confusion_matrix_from_logits(logits, labels, 7))
+        np.testing.assert_array_equal(got, want)
+
+    def test_cm_from_logits_sample_mask(self):
+        logits, labels = self._tied_logits(2)
+        mask = jnp.asarray([1, 0])
+        preds = jnp.argmax(logits, axis=-1)
+        want = np.asarray(confusion_matrix(preds, labels, 7,
+                                           sample_mask=mask))
+        got = np.asarray(confusion_matrix_from_logits(logits, labels, 7,
+                                                      sample_mask=mask))
+        np.testing.assert_array_equal(got, want)
+
+    def test_cm_per_weather_from_logits_bit_identical(self):
+        logits, labels = self._tied_logits(3, b=4)
+        wid = jnp.asarray([0, 2, 1, 2])
+        preds = jnp.argmax(logits, axis=-1)
+        want = np.asarray(confusion_matrix_per_weather(
+            preds, labels, 7, wid, 5))
+        got = np.asarray(confusion_matrix_per_weather_from_logits(
+            logits, labels, 7, wid, 5))
+        np.testing.assert_array_equal(got, want)
 
 
 class TestECE:
