@@ -45,6 +45,9 @@ def create_datasets_and_loaders(config: Config):
         include_depth=data_cfg.get('include_depth', True),
         dataset_type=data_cfg.get('dataset_type', 'combined'),
         seed=config.get('seed', 42),
+        # raw decoded-array cache (TFRecord-analog production path):
+        # steady-state epochs read uint8 memmaps instead of re-decoding PNGs
+        decoded_cache=data_cfg.get('decoded_cache'),
     )
     train_ds = CityscapesKITTIDataset(split='train', **common)
     val_ds = CityscapesKITTIDataset(split='val', **common)
@@ -163,6 +166,8 @@ def main(argv=None) -> None:
                 'best_val_miou': results['best_val_miou'],
                 'best_val_loss': results['best_val_loss'],
                 'total_epochs': results['total_epochs'],
+                # per-epoch losses + train_images_per_sec (throughput record)
+                'history': results['history'],
                 'config': config.to_dict(),
             }, f, indent=2, default=str)
     except KeyboardInterrupt:
