@@ -85,6 +85,13 @@ class Evaluator:
             mesh_shape=tpu_cfg.get('mesh_shape', 'auto'))
         self.n_devices = self.mesh.devices.size
         self.policy = get_policy(tpu_cfg.get('precision', 'bf16'))
+        # Cast the model weights ONCE to the policy compute dtype. Casting
+        # only the input is not enough: flax modules with dtype=None promote
+        # (bf16 activations × f32 params) back to f32, so without this the
+        # whole forward silently ran full-precision and the MXU at half
+        # rate. Metrics stay f32 (the step casts logits before softmax/ECE);
+        # the fp32 policy keeps this a no-op for reference-parity runs.
+        self.variables = self.policy.cast_to_compute(self.variables)
 
         # Spatial tiling (SURVEY §5 long-context analog): shard one full-res
         # image's tile grid over the mesh instead of the batch axis.
@@ -163,10 +170,13 @@ class Evaluator:
 
             # confusion + ECE via ONE joint (weather × class/bin) one-hot
             # matmul each; slot 0 (overall) = sum over weathers. The
-            # prediction one-hot comes straight from the logits (exact
-            # first-max tie-break) — no int argmax round-trip.
+            # prediction one-hot comes straight from the model-dtype logits
+            # (bf16→f32 is monotone injective, so argmax decisions incl.
+            # tie-breaks are identical) — no int argmax round-trip and no
+            # f32 copy of the full-res logits on the CM path; f32 is kept
+            # for the ECE softmax/binning only.
             cm_w = confusion_matrix_per_weather_from_logits(
-                logits, lbl, c, weather_ids, n_weathers,
+                outputs['segmentation'], lbl, c, weather_ids, n_weathers,
                 sample_mask=sample_mask)
             ece_w = ece_bin_update_per_weather(
                 logits, lbl, weather_ids, n_weathers, self.num_bins,

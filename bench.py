@@ -169,8 +169,11 @@ def build_eval(head_mode: str):
                              train=False, include_depth=True)
         x = prep['image'].astype(jnp.bfloat16)
         out = model.apply(variables, x, train=False)
-        logits = out['segmentation'].astype(jnp.float32)
-        return (cm + confusion_matrix_from_logits(logits, labels, 19),
+        # CM consumes the bf16 logits directly: bf16->f32 is monotone and
+        # injective, so argmax decisions (incl. tie-breaks) are identical —
+        # no f32 copy of the full-res logits is ever materialized.
+        return (cm + confusion_matrix_from_logits(out['segmentation'],
+                                                  labels, 19),
                 dsum + out['depth'].astype(jnp.float32).sum())
 
     step = jax.jit(eval_step, donate_argnums=(5,))

@@ -43,6 +43,8 @@ STEPS = [
     ('depth_ab', ['scripts/ab_depth_head.py'], 1200),
     ('auroc', ['scripts/auroc_scale_check.py'], 1500),
     ('profile_eval', ['scripts/profile_eval.py'], 1200),
+    ('profile_deeplab', ['scripts/profile_deeplab.py'], 1200),
+    ('profile_segformer', ['scripts/profile_segformer.py'], 1200),
     ('soak', ['scripts/train_soak.py'], 5400),
 ]
 

@@ -106,6 +106,37 @@ class TestEvaluator:
         assert '_auroc_histogram_estimate' in res_dev
 
 
+    def test_bf16_policy_casts_weights_and_stays_close_to_fp32(
+            self, eval_setup, test_config, synthetic_dataset_dir):
+        """Under the bf16 policy the evaluator must cast the model WEIGHTS
+        to bf16 (casting only the input is not enough — flax promotes
+        bf16×f32 back to f32, silently running the forward full-precision),
+        and the sweep's headline metrics must stay close to the fp32 run."""
+        model, variables, _ = eval_setup
+
+        def fresh_loader():
+            ds = CityscapesKITTIDataset(synthetic_dataset_dir, 'test',
+                                        image_size=(32, 48), seed=0)
+            ds.samples = ds.samples[:8]
+            return BatchIterator(ds, batch_size=4, shuffle=False)
+
+        cfg16 = test_config.to_dict()
+        cfg16['tpu'] = dict(cfg16.get('tpu') or {}, precision='bf16')
+        ev16 = Evaluator(model, variables, cfg16)
+        leaves = jax.tree_util.tree_leaves(ev16.variables)
+        assert all(leaf.dtype == jnp.bfloat16 for leaf in leaves
+                   if jnp.issubdtype(leaf.dtype, jnp.floating))
+        res16 = ev16.run(fresh_loader(), seed=7)
+
+        ev32 = Evaluator(model, variables, test_config)
+        leaves32 = jax.tree_util.tree_leaves(ev32.variables)
+        assert all(leaf.dtype == jnp.float32 for leaf in leaves32
+                   if jnp.issubdtype(leaf.dtype, jnp.floating))
+        res32 = ev32.run(fresh_loader(), seed=7)
+        assert abs(res16['overall_miou'] - res32['overall_miou']) < 0.05
+        assert abs(res16['expected_calibration_error'] -
+                   res32['expected_calibration_error']) < 0.05
+
     def test_exact_auroc_memory_guard_degrades_to_histogram(
             self, eval_setup, test_config, caplog):
         """When the exact-mode score buffer would exceed

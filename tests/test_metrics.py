@@ -125,6 +125,17 @@ class TestArgmaxOnehotFusion:
                                                       sample_mask=mask))
         np.testing.assert_array_equal(got, want)
 
+    def test_cm_from_bf16_logits_matches_f32_cast(self):
+        # bf16→f32 is monotone injective, so feeding the CM model-dtype
+        # bf16 logits (no f32 copy) decides identically — incl. ties,
+        # which the 3-value logit set makes plentiful at bf16 precision
+        logits_f32, labels = self._tied_logits(4)
+        lb = logits_f32.astype(jnp.bfloat16)
+        want = np.asarray(confusion_matrix_from_logits(
+            lb.astype(jnp.float32), labels, 7))
+        got = np.asarray(confusion_matrix_from_logits(lb, labels, 7))
+        np.testing.assert_array_equal(got, want)
+
     def test_cm_per_weather_from_logits_bit_identical(self):
         logits, labels = self._tied_logits(3, b=4)
         wid = jnp.asarray([0, 2, 1, 2])
