@@ -162,7 +162,7 @@ def build_eval(head_mode: str):
         # accumulator so XLA cannot dead-code-eliminate them — the torch
         # reference computes them eagerly, so the headline pays for them
         # too (round-2 advisor finding). The prediction one-hot feeds the
-        # CM matmul straight from the f32 logits (exact argmax tie-break,
+        # CM matmul straight from the logits (exact argmax tie-break,
         # metrics/iou.py::argmax_onehot) — no int argmax round-trip.
         cm, dsum = acc
         prep = prepare_batch(images_u8, labels, weather_ids, keys,
