@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from .deeplab import DeepLabV3PlusModel
-from .segformer import SegFormerModel
+from .segformer import SegFormerModel, mit_variant_config
 
 
 class EnsembleModel(nn.Module):
@@ -29,13 +29,17 @@ class EnsembleModel(nn.Module):
     head_mode: str = 'faithful'
     fused_upsample: bool = True
     remat: bool = False  # checkpoint SegFormer encoder blocks in training
+    segformer_variant: str = 'b0'  # MiT family member (segformer.MIT_VARIANTS)
 
     def setup(self) -> None:
+        hidden_sizes, depths = mit_variant_config(self.segformer_variant)
         self.segformer = SegFormerModel(num_classes=self.num_classes,
                                         include_depth=self.include_depth,
                                         head_mode=self.head_mode,
                                         fused_upsample=self.fused_upsample,
-                                        remat=self.remat)
+                                        remat=self.remat,
+                                        hidden_sizes=hidden_sizes,
+                                        depths=depths)
         self.deeplabv3plus = DeepLabV3PlusModel(num_classes=self.num_classes,
                                                 include_depth=self.include_depth)
         # learnable ensemble weights, init 1/2 each (model.py:420)

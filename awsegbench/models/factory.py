@@ -18,7 +18,7 @@ import numpy as np
 from ..utils.config import Config
 from .deeplab import DeepLabV3PlusModel
 from .ensemble import EnsembleModel
-from .segformer import SegFormerModel
+from .segformer import SegFormerModel, mit_variant_config, mit_variant_name
 
 
 def create_model(config: Config) -> nn.Module:
@@ -28,6 +28,10 @@ def create_model(config: Config) -> nn.Module:
     include_depth = model_config.get('include_depth', True)
     head_mode = model_config.get('head_mode', 'faithful')
     fused_upsample = model_config.get('fused_upsample', True)
+    # MiT family member: 'segformer_variant: b1' or the reference's
+    # HF-style 'model_name: nvidia/segformer-b1-...' (model.py:91)
+    variant = model_config.get('segformer_variant',
+                               model_config.get('model_name', 'b0'))
     # remat: checkpoint encoder blocks in training (activation memory ↔
     # recompute FLOPs) — enables larger per-chip train batches
     remat = bool(model_config.get('remat',
@@ -35,11 +39,14 @@ def create_model(config: Config) -> nn.Module:
                                       'remat', False)))
 
     if model_type == 'segformer':
+        hidden_sizes, depths = mit_variant_config(variant)
         return SegFormerModel(num_classes=num_classes,
                               include_depth=include_depth,
                               head_mode=head_mode,
                               fused_upsample=fused_upsample,
-                              remat=remat)
+                              remat=remat,
+                              hidden_sizes=hidden_sizes,
+                              depths=depths)
     if model_type == 'deeplabv3plus':
         return DeepLabV3PlusModel(num_classes=num_classes,
                                   include_depth=include_depth)
@@ -52,6 +59,7 @@ def create_model(config: Config) -> nn.Module:
             head_mode=head_mode,
             fused_upsample=fused_upsample,
             remat=remat,
+            segformer_variant=mit_variant_name(variant),
         )
     raise ValueError(f"Unknown model type: {model_type}")
 

@@ -127,11 +127,14 @@ def _check_shapes(new: Dict, existing: Dict, what: str) -> None:
 
 
 def _graft_segformer(variables: Dict, scope_prefix: str,
-                     weights_dir: Optional[Path]) -> bool:
-    path = find_weights_file('segformer_b0', weights_dir)
+                     weights_dir: Optional[Path],
+                     variant: str = 'b0') -> bool:
+    from .segformer import MIT_VARIANTS, mit_variant_name
+    variant = mit_variant_name(variant)
+    path = find_weights_file(f'segformer_{variant}', weights_dir)
     if path is None:
         logger.warning(
-            'Pretrained SegFormer weights not found in '
+            f'Pretrained SegFormer ({variant}) weights not found in '
             f'{weights_dir or resolve_weights_dir()} — using random init '
             '(reference fallback contract, model.py:111-146)')
         return False
@@ -141,7 +144,8 @@ def _graft_segformer(variables: Dict, scope_prefix: str,
     existing = _tree_at(variables['params'], enc_scope)
     if existing is None:
         raise ValueError(f'encoder scope {enc_scope} not found in params')
-    converted = convert_hf_segformer_encoder(sd)
+    converted = convert_hf_segformer_encoder(sd,
+                                             depths=MIT_VARIANTS[variant][1])
     _check_shapes(converted, existing, f'segformer encoder ({path.name})')
     _set_tree_at(variables['params'], enc_scope, converted)
     logger.info(f'Loaded pretrained SegFormer encoder from {path}')
@@ -198,10 +202,12 @@ def apply_pretrained(variables: Dict, model_config: Mapping[str, Any],
         targets.append(('segformer', 'segformer'))
         targets.append(('resnet', 'deeplabv3plus'))
 
+    variant = model_config.get('segformer_variant',
+                               model_config.get('model_name', 'b0'))
     for kind, scope in targets:
         try:
             if kind == 'segformer':
-                _graft_segformer(out, scope, weights_dir)
+                _graft_segformer(out, scope, weights_dir, variant=variant)
             else:
                 _graft_resnet(out, scope, weights_dir)
         except Exception as e:

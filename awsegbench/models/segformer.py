@@ -29,6 +29,43 @@ from .heads import DepthEstimationHead, SegmentationHead
 # trunc_normal(0.02) like HF/timm transformer inits
 trunc02 = nn.initializers.truncated_normal(stddev=0.02)
 
+# MiT family (SegFormer paper table 7): (hidden_sizes, depths). All share
+# heads (1,2,5,8), sr_ratios (8,4,2,1), mlp_ratios (4,4,4,4), patch
+# geometry 7/3/3/3 s4/2/2/2. The reference reaches these through HF
+# ``model_name`` ids (model.py:91,:113-146); here they are first-class
+# configs — heads adapt automatically (feature_dim = hidden_sizes[-1],
+# as model.py:149).
+MIT_VARIANTS: dict[str, tuple[tuple[int, ...], tuple[int, ...]]] = {
+    'b0': ((32, 64, 160, 256), (2, 2, 2, 2)),
+    'b1': ((64, 128, 320, 512), (2, 2, 2, 2)),
+    'b2': ((64, 128, 320, 512), (3, 4, 6, 3)),
+    'b3': ((64, 128, 320, 512), (3, 4, 18, 3)),
+    'b4': ((64, 128, 320, 512), (3, 8, 27, 3)),
+    'b5': ((64, 128, 320, 512), (3, 6, 40, 3)),
+}
+
+
+def mit_variant_name(name: str) -> str:
+    """Canonical 'b0'..'b5' from a short name or an HF-style model id
+    (e.g. 'nvidia/segformer-b1-finetuned-ade-512-512', the reference's
+    ``model_name`` parameter, model.py:91)."""
+    key = name.strip().lower()
+    if key not in MIT_VARIANTS:
+        import re
+        m = re.search(r'\bmit-(b[0-5])\b|segformer-(b[0-5])\b', key)
+        if m:
+            key = m.group(1) or m.group(2)
+    if key not in MIT_VARIANTS:
+        raise ValueError(
+            f'unknown MiT variant {name!r}; expected one of '
+            f'{sorted(MIT_VARIANTS)} or an HF segformer-bN model id')
+    return key
+
+
+def mit_variant_config(name: str) -> tuple[tuple[int, ...], tuple[int, ...]]:
+    """(hidden_sizes, depths) for a MiT variant name or HF model id."""
+    return MIT_VARIANTS[mit_variant_name(name)]
+
 
 class OverlapPatchEmbed(nn.Module):
     features: int

@@ -165,6 +165,9 @@ def create_default_config() -> Config:
             'pretrained': True,
             'ensemble_strategy': 'weighted_average',
             'temperature_scaling': True,
+            # MiT family member for the SegFormer branch ('b0'..'b5', or an
+            # HF segformer-bN id à la the reference's model_name)
+            'segformer_variant': 'b0',
         },
         'data': {
             'dataset_type': 'combined',

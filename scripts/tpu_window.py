@@ -67,6 +67,8 @@ def main() -> None:
     ap.add_argument('--steps', default=','.join(n for n, _, _ in STEPS))
     ap.add_argument('--wait', type=float, default=0.0,
                     help='max seconds to wait for the backend to come up')
+    ap.add_argument('--force', action='store_true',
+                    help='run the steps even if the backend never came up')
     args = ap.parse_args()
     want = [s.strip() for s in args.steps.split(',') if s.strip()]
     unknown = set(want) - {n for n, _, _ in STEPS}
@@ -83,6 +85,15 @@ def main() -> None:
         time.sleep(60)
         up = backend_up()
     print(f'backend up: {up}', flush=True)
+    if not up and not args.force:
+        # Don't burn hours of per-step timeouts against a dead tunnel —
+        # exit loudly so a supervisor can relaunch with a fresh wait.
+        OUT.mkdir(exist_ok=True)
+        json.dump({'started': time.strftime('%Y-%m-%dT%H:%M:%S'),
+                   'backend_up_at_start': False, 'steps': {},
+                   'aborted': 'backend never came up within --wait'},
+                  open(OUT / 'window_summary.json', 'w'), indent=2)
+        sys.exit(2)
 
     summary = {'started': time.strftime('%Y-%m-%dT%H:%M:%S'),
                'backend_up_at_start': up, 'steps': {}}
