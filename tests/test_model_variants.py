@@ -9,6 +9,7 @@ wiring, forward shapes, and capacity ordering on tiny inputs.
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import pytest
 
 from awsegbench.models import (MIT_VARIANTS, EnsembleModel, SegFormerModel,
@@ -100,3 +101,59 @@ class TestVariantModels:
                                 'pretrained': False}})
         model = create_model(cfg)
         assert model.segformer_variant == 'b0'
+
+
+class TestVariantTensorParallel:
+    """The TP rules are shape-driven (core/mesh.py::tp_param_shardings), so
+    the wider MiT members must shard on the model axis at the PRODUCTION
+    min_features=64 — b1's stage-1 width (64) already qualifies where
+    b0's (32) does not — and the partitioned forward must equal the
+    replicated one."""
+
+    def test_b1_shards_at_default_min_features_and_matches(self):
+        from awsegbench.core.mesh import (MODEL_AXIS, create_mesh,
+                                          tp_param_shardings)
+
+        hidden_sizes, depths = mit_variant_config('b1')
+        model = SegFormerModel(num_classes=5, include_depth=False,
+                               hidden_sizes=hidden_sizes, depths=depths)
+        x = jax.random.normal(jax.random.PRNGKey(3), (2, 32, 64, 3),
+                              jnp.float32)
+        variables = model.init({'params': jax.random.PRNGKey(0),
+                                'dropout': jax.random.PRNGKey(1)},
+                               x, train=False)
+        ref = model.apply(variables, x, train=False)['segmentation']
+
+        mesh = create_mesh(mesh_shape={'data': 4, 'model': 2})
+        shardings = tp_param_shardings(variables['params'], mesh)  # default 64
+        n_model = sum(MODEL_AXIS in str(s.spec)
+                      for s in jax.tree_util.tree_leaves(shardings))
+        assert n_model > 0, 'b1 kernels must shard at min_features=64'
+        placed = jax.tree_util.tree_map(jax.device_put,
+                                        variables['params'], shardings)
+
+        bs = variables.get('batch_stats', {})
+        out = jax.jit(lambda p: model.apply(
+            {'params': p, 'batch_stats': bs}, x,
+            train=False)['segmentation'])(placed)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_b0_stage1_stays_replicated_at_default(self):
+        from awsegbench.core.mesh import create_mesh, tp_param_shardings
+
+        hidden_sizes, depths = mit_variant_config('b0')
+        model = SegFormerModel(num_classes=5, include_depth=False,
+                               hidden_sizes=hidden_sizes, depths=depths)
+        variables = model.init({'params': jax.random.PRNGKey(0),
+                                'dropout': jax.random.PRNGKey(1)},
+                               jnp.zeros((1, 32, 64, 3)), train=False)
+        mesh = create_mesh(mesh_shape={'data': 4, 'model': 2})
+        sh = tp_param_shardings(variables['params'], mesh)
+        psh = list(zip(jax.tree_util.tree_leaves(variables['params']),
+                       jax.tree_util.tree_leaves(sh)))
+        narrow = [s for p, s in psh if p.ndim >= 2 and p.shape[-1] == 32]
+        wide = [s for p, s in psh if p.ndim >= 2 and p.shape[-1] == 256]
+        assert narrow and wide  # b0 stage-1 q/k/v/proj are 32-wide
+        assert all('model' not in str(s.spec) for s in narrow)
+        assert any('model' in str(s.spec) for s in wide)
