@@ -59,14 +59,17 @@ def build_serving_fn(model, variables: Dict[str, Any], *,
 
 
 def export_serving(model, variables: Dict[str, Any],
-                   image_hw: Sequence[int], *, batch_size: int = 1,
+                   image_hw: Sequence[int], *, batch_size=1,
                    precision: str = 'bf16', include_depth: bool = True,
                    platforms: Optional[Sequence[str]] = None) -> bytes:
-    """Lower + serialize the serving forward at static shapes.
+    """Lower + serialize the serving forward at static spatial shapes.
 
-    ``platforms=None`` exports for the current backend; pass e.g.
-    ``('tpu', 'cpu')`` for a multi-platform artifact (lowering needs no
-    device — a CPU host can export for TPU).
+    ``batch_size`` is an int for a fixed-batch artifact, or ``'poly'``
+    for a batch-polymorphic one (jax.export symbolic dimension — one
+    artifact serves any batch size; spatial dims stay static, which is
+    what XLA tiling wants). ``platforms=None`` exports for the current
+    backend; pass e.g. ``('tpu', 'cpu')`` for a multi-platform artifact
+    (lowering needs no device — a CPU host can export for TPU).
     """
     import jax
     import jax.numpy as jnp
@@ -74,6 +77,8 @@ def export_serving(model, variables: Dict[str, Any],
     serve = build_serving_fn(model, variables, precision=precision,
                              include_depth=include_depth)
     h, w = int(image_hw[0]), int(image_hw[1])
+    if batch_size == 'poly':
+        batch_size, = jax.export.symbolic_shape('b')
     spec = jax.ShapeDtypeStruct((batch_size, h, w, 3), jnp.uint8)
     kwargs = {}
     if platforms is not None:
@@ -120,7 +125,10 @@ class ServingModel:
         import numpy as np
 
         x = np.asarray(images_u8)
-        if tuple(x.shape) != self.input_spec or x.dtype != np.uint8:
+        spec_ok = (len(x.shape) == len(self.input_spec) and all(
+            e == 'poly' or int(e) == s
+            for e, s in zip(self.input_spec, x.shape)))
+        if not spec_ok or x.dtype != np.uint8:
             raise ValueError(
                 f'expected uint8 input of shape {self.input_spec}, got '
                 f'{x.dtype} {tuple(x.shape)} (shapes are static at export; '

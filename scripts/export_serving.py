@@ -22,7 +22,8 @@ def main() -> int:
     ap.add_argument('checkpoint', help='checkpoint dir (latest/best/epoch_N)')
     ap.add_argument('--config', default=None)
     ap.add_argument('--out', default='serving_artifact')
-    ap.add_argument('--batch-size', type=int, default=1)
+    ap.add_argument('--batch-size', default='1',
+                    help="int, or 'poly' for a batch-polymorphic artifact")
     ap.add_argument('--height', type=int, default=None,
                     help='input height (default: config data.image_size)')
     ap.add_argument('--width', type=int, default=None)
@@ -62,11 +63,13 @@ def main() -> int:
     include_depth = (not args.no_depth
                      and config.get('model.include_depth', True))
 
+    batch = (args.batch_size if args.batch_size == 'poly'
+             else int(args.batch_size))
     blob = export_serving(model, variables, (h, w),
-                          batch_size=args.batch_size, precision=precision,
+                          batch_size=batch, precision=precision,
                           include_depth=include_depth, platforms=platforms)
     meta = {
-        'input_shape': [args.batch_size, h, w, 3],
+        'input_shape': [batch, h, w, 3],
         'input_dtype': 'uint8',
         'num_classes': config.get('model.num_classes', 19),
         'precision': precision,

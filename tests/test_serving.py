@@ -84,6 +84,21 @@ class TestServingExport:
         exported = jax.export.deserialize(blob)
         assert tuple(exported.platforms) == ('tpu',)
 
+    def test_batch_polymorphic_export(self, tiny_model, tmp_path):
+        """batch_size='poly': one artifact serves any batch size."""
+        model, variables = tiny_model
+        blob = export_serving(model, variables, (32, 64),
+                              batch_size='poly', precision='fp32')
+        out = save_serving_artifact(tmp_path / 'poly', blob,
+                                    {'input_shape': ['poly', 32, 64, 3]})
+        loaded = ServingModel.load(out)
+        for bs in (1, 3):
+            res = loaded.predict(
+                np.zeros((bs, 32, 64, 3), np.uint8))
+            assert res['segmentation'].shape == (bs, 32, 64, 5)
+        with pytest.raises(ValueError, match='static at export'):
+            loaded.predict(np.zeros((1, 16, 64, 3), np.uint8))
+
     def test_no_depth_export(self, tiny_model):
         model, variables = tiny_model
         blob = export_serving(model, variables, (32, 64), batch_size=1,
