@@ -58,12 +58,16 @@ def argmax_onehot(logits: jax.Array, axis: int = -1,
     """One-hot of argmax computed directly from logits — no int argmax
     round-trip (VERDICT r3 item 3b: fuse argmax into the CM one-hot
     matmul). Tie-break matches ``jnp.argmax`` exactly (first maximum wins):
-    of the positions equal to the row max, only the first is hot.
+    of the positions equal to the row max, only the first is hot. NaN rows
+    also match ``jnp.argmax`` (XLA orders NaN above everything, so the
+    first NaN wins): without the explicit ``isnan`` term a NaN row max
+    compares unequal everywhere and the pixel would silently vanish from
+    the counts instead of surfacing in some class.
 
     0/1 values are exact in bf16, so the downstream f32-accumulated count
     matmul stays exact."""
     m = jnp.max(logits, axis=axis, keepdims=True)
-    is_max = logits == m
+    is_max = (logits == m) | jnp.isnan(logits)
     first = jnp.cumsum(is_max.astype(jnp.int32), axis=axis) == 1
     return (is_max & first).astype(dtype)
 

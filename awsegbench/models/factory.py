@@ -28,10 +28,14 @@ def create_model(config: Config) -> nn.Module:
     include_depth = model_config.get('include_depth', True)
     head_mode = model_config.get('head_mode', 'faithful')
     fused_upsample = model_config.get('fused_upsample', True)
-    # MiT family member: 'segformer_variant: b1' or the reference's
-    # HF-style 'model_name: nvidia/segformer-b1-...' (model.py:91)
-    variant = model_config.get('segformer_variant',
-                               model_config.get('model_name', 'b0'))
+    # MiT family member: 'segformer_variant: b1' (strict) or the
+    # reference's HF-style 'model_name: nvidia/segformer-b1-...'
+    # (model.py:91 — arbitrary ids allowed there, so unrecognized ones
+    # warn and fall back to b0 rather than failing startup)
+    variant = model_config.get('segformer_variant')
+    if variant is None:
+        variant = mit_variant_name(model_config.get('model_name', 'b0'),
+                                   default='b0')
     # remat: checkpoint encoder blocks in training (activation memory ↔
     # recompute FLOPs) — enables larger per-chip train batches
     remat = bool(model_config.get('remat',

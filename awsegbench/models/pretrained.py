@@ -202,8 +202,11 @@ def apply_pretrained(variables: Dict, model_config: Mapping[str, Any],
         targets.append(('segformer', 'segformer'))
         targets.append(('resnet', 'deeplabv3plus'))
 
-    variant = model_config.get('segformer_variant',
-                               model_config.get('model_name', 'b0'))
+    variant = model_config.get('segformer_variant')
+    if variant is None:
+        from .segformer import mit_variant_name
+        variant = mit_variant_name(model_config.get('model_name', 'b0'),
+                                   default='b0')
     for kind, scope in targets:
         try:
             if kind == 'segformer':

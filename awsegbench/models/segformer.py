@@ -45,10 +45,16 @@ MIT_VARIANTS: dict[str, tuple[tuple[int, ...], tuple[int, ...]]] = {
 }
 
 
-def mit_variant_name(name: str) -> str:
+def mit_variant_name(name: str, default: str | None = None) -> str:
     """Canonical 'b0'..'b5' from a short name or an HF-style model id
     (e.g. 'nvidia/segformer-b1-finetuned-ade-512-512', the reference's
-    ``model_name`` parameter, model.py:91)."""
+    ``model_name`` parameter, model.py:91).
+
+    With ``default``, an unrecognized id falls back to it with a warning
+    instead of raising — the reference accepts arbitrary ``model_name``
+    strings (custom fine-tune repo ids carry no bN token), so ids coming
+    from that config key must not hard-fail. Explicit
+    ``segformer_variant`` values stay strict (no ``default``)."""
     key = name.strip().lower()
     if key not in MIT_VARIANTS:
         import re
@@ -56,15 +62,23 @@ def mit_variant_name(name: str) -> str:
         if m:
             key = m.group(1) or m.group(2)
     if key not in MIT_VARIANTS:
+        if default is not None:
+            import logging
+            logging.getLogger(__name__).warning(
+                f'model_name {name!r} carries no recognizable MiT variant '
+                f'token; using {default!r} geometry (reference accepts '
+                f'arbitrary ids, model.py:91)')
+            return default
         raise ValueError(
             f'unknown MiT variant {name!r}; expected one of '
             f'{sorted(MIT_VARIANTS)} or an HF segformer-bN model id')
     return key
 
 
-def mit_variant_config(name: str) -> tuple[tuple[int, ...], tuple[int, ...]]:
+def mit_variant_config(name: str, default: str | None = None
+                       ) -> tuple[tuple[int, ...], tuple[int, ...]]:
     """(hidden_sizes, depths) for a MiT variant name or HF model id."""
-    return MIT_VARIANTS[mit_variant_name(name)]
+    return MIT_VARIANTS[mit_variant_name(name, default=default)]
 
 
 class OverlapPatchEmbed(nn.Module):

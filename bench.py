@@ -479,10 +479,12 @@ _TRANSIENT_MARKERS = ('DEADLINE_EXCEEDED', 'UNAVAILABLE', 'INTERNAL',
                       'Attempting to reserve')
 
 
-def _measure_with_retry(fn, attempts: int = 2):
+def _measure_with_retry(fn, attempts: int = 2, on_retry=None):
     # the tunneled dev backend's remote-compile helper occasionally 500s;
     # one retry (transient errors only) protects the benchmark artifact.
     # Deterministic failures (shape errors, true OOM) surface immediately.
+    # ``on_retry`` lets measurements with build caches invalidate them
+    # (a failed attempt may have donated cached buffers).
     for i in range(attempts):
         try:
             return fn()
@@ -492,6 +494,8 @@ def _measure_with_retry(fn, attempts: int = 2):
                 raise
             print(f"bench: transient failure, retrying in 20s: {e!r}",
                   file=sys.stderr)
+            if on_retry is not None:
+                on_retry()
             time.sleep(20)
 
 
@@ -510,6 +514,14 @@ def _run_with_deadline(fn, label: str, timeout_s: int = None):
     forever inside C extension code that no signal handler can interrupt —
     only an abandonable thread bounds that."""
     timeout_s = MEASURE_DEADLINE_S if timeout_s is None else timeout_s
+    if _ABANDONED:
+        # a previous measurement already hit the wall deadline — the
+        # backend is wedged mid-RPC, so every later device call would
+        # burn another full deadline. Fail fast; the stale-artifact path
+        # ships whatever completed before the hang.
+        raise RuntimeError(
+            f'{label} skipped: backend already hung '
+            f'({_ABANDONED[0].name} never returned)')
     box = {}
 
     def work():
@@ -555,7 +567,8 @@ def _gather(fresh: dict) -> dict:
     train_note = None
     try:
         train_ips, train_mfu = _run_with_deadline(
-            lambda: _measure_with_retry(measure_tpu_train), 'train')
+            lambda: _measure_with_retry(
+                measure_tpu_train, on_retry=_TRAIN_CACHE.clear), 'train')
     except Exception as e:
         # The fused train-head kernels are the newest on-chip surface; if
         # they fail at this production shape, fall back to the XLA train
@@ -563,9 +576,14 @@ def _gather(fresh: dict) -> dict:
         print(f"bench: fused train path failed ({e!r}); retrying with "
               f"AWSEG_DISABLE_TRAIN_HEADS=1", file=sys.stderr)
         os.environ['AWSEG_DISABLE_TRAIN_HEADS'] = '1'
+        # drop the cached jit + carry: the trace baked in the old env
+        # flag, and a failed call may already have donated the carry's
+        # buffers — the fallback must rebuild from scratch
+        _TRAIN_CACHE.clear()
         try:
             train_ips, train_mfu = _run_with_deadline(
-                lambda: _measure_with_retry(measure_tpu_train),
+                lambda: _measure_with_retry(
+                    measure_tpu_train, on_retry=_TRAIN_CACHE.clear),
                 'train-xla-fallback')
             train_note = ('fused train-head kernels failed on this '
                           'backend; measured the XLA train path instead')
@@ -656,6 +674,32 @@ def _stale_artifact(error: BaseException, fresh: dict) -> dict:
     return out
 
 
+# Fields whose measurement failures are swallowed inside _gather (train/
+# disk are auxiliary); on the success path they must inherit the cached
+# last-good values instead of clobbering them with nulls.
+_BACKFILL_FIELDS = ('train_value', 'train_mfu', 'disk_png_value',
+                    'disk_raw_value', 'disk_train_value')
+
+
+def _backfill_from_lastgood(result: dict) -> dict:
+    if not LASTGOOD.exists():
+        return result
+    try:
+        prev = json.loads(LASTGOOD.read_text())
+    except Exception as e:
+        print(f'bench: unreadable last-good cache: {e!r}', file=sys.stderr)
+        return result
+    carried = [k for k in _BACKFILL_FIELDS
+               if result.get(k) is None and prev.get(k) is not None]
+    for k in carried:
+        result[k] = prev[k]
+    if carried:
+        result['carried_note'] = (
+            'these fields failed to measure this run and carry the '
+            'last-good cached values: ' + ', '.join(carried))
+    return result
+
+
 def main() -> None:
     fresh = {}
     try:
@@ -669,12 +713,18 @@ def main() -> None:
             # hung backend threads would block a normal interpreter exit
             os._exit(0)
         sys.exit(0)
+    result = _backfill_from_lastgood(result)
     try:
         LASTGOOD.write_text(json.dumps(result, indent=2))
     except OSError as e:
         print(f'bench: could not write last-good cache: {e!r}',
               file=sys.stderr)
     print(json.dumps(result))
+    sys.stdout.flush()
+    if any(t.is_alive() for t in _ABANDONED):
+        # a swallowed train/disk deadline left a thread wedged in a
+        # backend RPC — same exit hazard as the stale path
+        os._exit(0)
 
 
 if __name__ == '__main__':

@@ -37,15 +37,19 @@ REPO = Path(__file__).resolve().parent.parent
 OUT = REPO / '.tpu_window'
 
 STEPS = [
-    # (name, argv, timeout_s)
+    # (name, argv, timeout_s). Budgets must exceed the child's own
+    # internal degradation deadlines (bench: compile+sweeps plus one
+    # 1800s measurement deadline before it fast-fails the rest and emits
+    # the stale artifact; soak: three CLI runs at --step-timeout 2400s) —
+    # a SIGKILL here forfeits the child's own partial-result artifact.
     ('kernel_checks', ['scripts/tpu_kernel_checks.py'], 1200),
-    ('bench', ['bench.py'], 2400),
+    ('bench', ['bench.py'], 4500),
     ('depth_ab', ['scripts/ab_depth_head.py'], 1200),
     ('auroc', ['scripts/auroc_scale_check.py'], 1500),
     ('profile_eval', ['scripts/profile_eval.py'], 1200),
     ('profile_deeplab', ['scripts/profile_deeplab.py'], 1200),
     ('profile_segformer', ['scripts/profile_segformer.py'], 1200),
-    ('soak', ['scripts/train_soak.py'], 5400),
+    ('soak', ['scripts/train_soak.py'], 8400),
 ]
 
 
@@ -103,14 +107,25 @@ def main() -> None:
         log_path = OUT / f'{name}.log'
         print(f'== {name}: {" ".join(argv)} (timeout {timeout}s)', flush=True)
         t0 = time.time()
-        try:
-            with open(log_path, 'w') as log:
-                proc = subprocess.run([sys.executable, *argv], stdout=log,
-                                      stderr=subprocess.STDOUT,
-                                      timeout=timeout, cwd=str(REPO))
-            rc = proc.returncode
-        except subprocess.TimeoutExpired:
-            rc = 'timeout'
+        with open(log_path, 'w') as log:
+            # own session ⇒ a timeout kill reaps the whole process GROUP:
+            # soak/bench spawn grandchildren (train CLI subprocesses) that
+            # a plain proc.kill() would orphan, leaving them holding the
+            # chip for the rest of the window
+            proc = subprocess.Popen([sys.executable, *argv], stdout=log,
+                                    stderr=subprocess.STDOUT,
+                                    cwd=str(REPO), start_new_session=True)
+            try:
+                rc = proc.wait(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                rc = 'timeout'
+                import os
+                import signal
+                try:
+                    os.killpg(proc.pid, signal.SIGKILL)
+                except ProcessLookupError:
+                    pass
+                proc.wait()
         dur = time.time() - t0
         tail = ''
         if log_path.exists():

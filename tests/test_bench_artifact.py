@@ -120,6 +120,57 @@ def test_success_writes_lastgood(bench, capsys, monkeypatch):
     assert cached['value'] == 300.0      # next outage will serve these
 
 
+def test_partial_success_backfills_lastgood_not_clobbers(bench, capsys,
+                                                         monkeypatch):
+    """Train/disk failures are swallowed inside _gather; the success path
+    must inherit the cached values for those fields (flagged in
+    carried_note) rather than overwrite real last-good numbers with
+    nulls."""
+    bench.LASTGOOD.write_text(json.dumps(
+        {'metric': 'ensemble_4weather_eval_throughput', 'value': 111.0,
+         'train_value': 20.1, 'train_mfu': 0.11, 'disk_raw_value': 150.0,
+         'stale': False}))
+    # main()'s train fallback sets AWSEG_DISABLE_TRAIN_HEADS=1; pin the
+    # var so teardown restores it (empty parses as unset) instead of
+    # leaking the disable into later tests in this process
+    monkeypatch.setenv('AWSEG_DISABLE_TRAIN_HEADS', '')
+    monkeypatch.setattr(bench, 'measure_tpu_eval',
+                        lambda mode: (300.0, 0.3) if mode == 'faithful'
+                        else (400.0, 0.4))
+
+    def boom():
+        raise RuntimeError('deterministic train failure')
+
+    monkeypatch.setattr(bench, 'measure_tpu_train', boom)
+    monkeypatch.setattr(bench, 'measure_disk_eval', boom)
+    monkeypatch.setattr(bench, 'measure_disk_train', boom)
+    bench.main()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert out['stale'] is False and out['value'] == 300.0
+    assert out['train_value'] == 20.1        # carried, not nulled
+    assert out['disk_raw_value'] == 150.0
+    assert 'train_value' in out['carried_note']
+    cached = json.loads(bench.LASTGOOD.read_text())
+    assert cached['train_value'] == 20.1 and cached['value'] == 300.0
+
+
+def test_hung_measurement_fast_fails_the_rest(bench):
+    """After one wall-deadline expiry the backend is wedged: later
+    measurements must fail immediately instead of burning a full deadline
+    each (the orchestrator's step budget assumes this)."""
+    def hang():
+        time.sleep(60)
+
+    with pytest.raises(RuntimeError, match='did not complete within'):
+        bench._run_with_deadline(hang, 'first-hang', timeout_s=1)
+    t0 = time.time()
+    with pytest.raises(RuntimeError, match='skipped: backend already'):
+        bench._run_with_deadline(lambda: 1, 'second', timeout_s=30)
+    assert time.time() - t0 < 5
+    bench._ABANDONED.clear()
+
+
 def test_committed_lastgood_seed_is_valid():
     seed = json.loads((REPO / '.bench_lastgood.json').read_text())
     assert seed['metric'] == 'ensemble_4weather_eval_throughput'

@@ -136,6 +136,25 @@ class TestArgmaxOnehotFusion:
         got = np.asarray(confusion_matrix_from_logits(lb, labels, 7))
         np.testing.assert_array_equal(got, want)
 
+    def test_nan_rows_match_argmax_not_dropped(self):
+        # jnp.argmax orders NaN above everything (first NaN wins); the
+        # one-hot path must do the same rather than emit an all-zero row
+        # that silently vanishes from the counts
+        logits, labels = self._tied_logits(5)
+        logits = np.array(logits)  # writable copy
+        logits[0, 0, 0, 3] = np.nan                    # single NaN
+        logits[0, 1, 2, 1] = logits[0, 1, 2, 5] = np.nan  # two NaNs
+        logits[1, 3, 4, :] = np.nan                    # all-NaN row
+        logits = jnp.asarray(logits)
+        oh = np.asarray(argmax_onehot(logits), np.float32)
+        assert np.all(oh.sum(-1) == 1.0)               # nothing dropped
+        np.testing.assert_array_equal(oh.argmax(-1),
+                                      np.asarray(jnp.argmax(logits, -1)))
+        preds = jnp.argmax(logits, axis=-1)
+        want = np.asarray(confusion_matrix(preds, labels, 7))
+        got = np.asarray(confusion_matrix_from_logits(logits, labels, 7))
+        np.testing.assert_array_equal(got, want)
+
     def test_cm_per_weather_from_logits_bit_identical(self):
         logits, labels = self._tied_logits(3, b=4)
         wid = jnp.asarray([0, 2, 1, 2])

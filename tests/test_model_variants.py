@@ -84,6 +84,21 @@ class TestVariantModels:
         m2 = create_model(cfg2)
         assert tuple(m2.depths) == (3, 4, 6, 3)
 
+    def test_unrecognized_model_name_falls_back_to_b0(self):
+        # the reference accepts arbitrary model_name ids (model.py:91) —
+        # no bN token means b0 geometry + a warning, not a startup crash
+        cfg = Config({'model': {
+            'type': 'segformer', 'num_classes': 5, 'pretrained': False,
+            'model_name': 'myorg/segformer-cityscapes-custom'}})
+        m = create_model(cfg)
+        assert tuple(m.hidden_sizes) == (32, 64, 160, 256)
+        # explicit segformer_variant stays strict
+        cfg2 = Config({'model': {
+            'type': 'segformer', 'num_classes': 5, 'pretrained': False,
+            'segformer_variant': 'b9'}})
+        with pytest.raises(ValueError, match='unknown MiT variant'):
+            create_model(cfg2)
+
     def test_ensemble_variant_forward(self):
         cfg = Config({'model': {'type': 'ensemble', 'num_classes': 5,
                                 'segformer_variant': 'b1',
