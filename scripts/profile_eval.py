@@ -145,7 +145,7 @@ def main():
     def init_acc():
         return {'cm': jnp.zeros((1 + NW, C, C), jnp.float32),
                 'ece': jnp.zeros((1 + NW, 15, 3), jnp.float32),
-                'auroc_hist': jnp.zeros((2, AUROC_BINS), jnp.float32)}
+                'auroc_hist': jnp.zeros((AUROC_BINS, 2), jnp.float32)}
 
     if 'full' in parts:
         model, variables = get_model('ensemble')
