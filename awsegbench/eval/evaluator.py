@@ -169,12 +169,13 @@ class Evaluator:
             lbl = prep['label']
 
             # confusion + ECE via ONE joint (weather × class/bin) one-hot
-            # matmul each; slot 0 (overall) = sum over weathers. The
-            # prediction one-hot comes straight from the model-dtype logits
-            # (bf16→f32 is monotone injective, so argmax decisions incl.
-            # tie-breaks are identical) — no int argmax round-trip and no
-            # f32 copy of the full-res logits on the CM path; f32 is kept
-            # for the ECE softmax/binning only.
+            # matmul each; slot 0 (overall) = sum over weathers. The CM
+            # takes the model-dtype logits directly (bf16→f32 is monotone
+            # injective, so argmax decisions incl. tie-breaks are
+            # identical) and reduces them to int argmax [B,H,W] before the
+            # chunked one-hot matmul — no [B,H,W,C]-shaped temp survives
+            # (the r4 "fused" variant's s32 cumsum temp was the BENCH_r04
+            # HBM OOM); f32 is kept for the ECE softmax/binning only.
             cm_w = confusion_matrix_per_weather_from_logits(
                 outputs['segmentation'], lbl, c, weather_ids, n_weathers,
                 sample_mask=sample_mask)

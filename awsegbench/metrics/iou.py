@@ -10,11 +10,71 @@ mesh), with IoU derived from it at sweep end — no per-batch host syncs.
 
 from __future__ import annotations
 
+import os
 from typing import Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Pixels per one-hot-matmul chunk. The CM matmul's operands are bf16
+# one-hots [chunk, n_rows→128 lanes]; at the default 2^20 the two operands
+# cost ~512 MB HBM regardless of batch size. Round 4 shipped an unchunked
+# variant whose [B,H,W,C] s32 tie-break temp alone was 8 GB at B32 (the
+# BENCH_r04 OOM); this bound is the structural fix.
+_CM_CHUNK = int(os.environ.get('AWSEG_CM_CHUNK_PIXELS', str(1 << 20)))
+
+
+def _cm_matmul(rows: jax.Array, cols: jax.Array, valid: jax.Array,
+               n_rows: int, n_cols: int) -> jax.Array:
+    """One [n_rows, n_cols] count matmul: cm = onehot(rows)ᵀ @ onehot(cols).
+
+    Scatter-adds serialize on TPU (~38 ms for 4M pixels); the one-hot
+    matmul runs on the systolic array in ~1 ms. bf16 one-hots hold 0/1
+    exactly and the f32 accumulation is exact for counts < 2^24.
+    """
+    r_ids = jnp.arange(n_rows, dtype=jnp.int32)
+    c_ids = jnp.arange(n_cols, dtype=jnp.int32)
+    oh_r = ((rows[:, None] == r_ids[None, :]) & valid[:, None]
+            ).astype(jnp.bfloat16)
+    oh_c = (cols[:, None] == c_ids[None, :]).astype(jnp.bfloat16)
+    return jax.lax.dot_general(
+        oh_r, oh_c,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _cm_accumulate(rows: jax.Array, cols: jax.Array, valid: jax.Array,
+                   n_rows: int, n_cols: int,
+                   chunk: int | None = None) -> jax.Array:
+    """Chunked count accumulation over flat int32 row/col indices.
+
+    Splits the pixel axis into ``chunk``-sized pieces under ``lax.scan`` so
+    the bf16 one-hot matmul operands never exceed ~2·chunk·128 lanes of HBM
+    (invalid-padded tail rows are all-zero in the row one-hot and contribute
+    nothing). Partial sums are integer-valued f32, so the chunked total is
+    bit-identical to the monolithic matmul for counts < 2^24.
+    """
+    chunk = _CM_CHUNK if chunk is None else chunk
+    n = rows.shape[0]
+    if n <= chunk:
+        return _cm_matmul(rows, cols, valid, n_rows, n_cols)
+    pad = (-n) % chunk
+    if pad:
+        rows = jnp.concatenate([rows, jnp.zeros((pad,), rows.dtype)])
+        cols = jnp.concatenate([cols, jnp.zeros((pad,), cols.dtype)])
+        valid = jnp.concatenate([valid, jnp.zeros((pad,), valid.dtype)])
+    k = (n + pad) // chunk
+
+    def body(acc, xs):
+        r, c, v = xs
+        return acc + _cm_matmul(r, c, v, n_rows, n_cols), None
+
+    acc, _ = jax.lax.scan(
+        body, jnp.zeros((n_rows, n_cols), jnp.float32),
+        (rows.reshape(k, chunk), cols.reshape(k, chunk),
+         valid.reshape(k, chunk)))
+    return acc
 
 
 def confusion_matrix(predictions: jax.Array, targets: jax.Array,
@@ -36,62 +96,48 @@ def confusion_matrix(predictions: jax.Array, targets: jax.Array,
         per_sample = int(np.prod(targets.shape[1:])) if targets.ndim > 1 else 1
         valid = valid & jnp.repeat(sample_mask.astype(bool), per_sample)
 
-    # MXU-friendly accumulation: cm = onehot(t)ᵀ @ onehot(p). Scatter-adds
-    # serialize on TPU (~38 ms for 4M pixels); the one-hot matmul runs on
-    # the systolic array in ~1 ms. bf16 one-hots hold 0/1 exactly and the
-    # f32 accumulation is exact for counts < 2^24.
     tgts_safe = jnp.clip(tgts, 0, num_classes - 1)
     preds_safe = jnp.clip(preds, 0, num_classes - 1)
-    classes = jnp.arange(num_classes, dtype=jnp.int32)
-    onehot_t = ((tgts_safe[:, None] == classes[None, :]) & valid[:, None]
-                ).astype(jnp.bfloat16)
-    onehot_p = (preds_safe[:, None] == classes[None, :]).astype(jnp.bfloat16)
-    cm = jax.lax.dot_general(
-        onehot_t, onehot_p,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    return cm
+    return _cm_accumulate(tgts_safe, preds_safe, valid,
+                          num_classes, num_classes)
 
 
 def argmax_onehot(logits: jax.Array, axis: int = -1,
                   dtype=jnp.bfloat16) -> jax.Array:
-    """One-hot of argmax computed directly from logits — no int argmax
-    round-trip (VERDICT r3 item 3b: fuse argmax into the CM one-hot
-    matmul). Tie-break matches ``jnp.argmax`` exactly (first maximum wins):
-    of the positions equal to the row max, only the first is hot. NaN rows
-    also match ``jnp.argmax`` (XLA orders NaN above everything, so the
-    first NaN wins): without the explicit ``isnan`` term a NaN row max
-    compares unequal everywhere and the pixel would silently vanish from
-    the counts instead of surfacing in some class.
+    """One-hot of ``jnp.argmax(logits, axis)`` — identical decisions by
+    construction (first maximum wins ties; NaN rows take the first NaN,
+    which XLA's argmax orders above everything).
+
+    Round 4 computed this "fused" from the logits via a row-max compare +
+    an s32 cumsum tie-break over the class axis; on TPU that materialized
+    an s32 [B,H,W,C] temp lane-padded 6.7× (8 GB at B32 — the BENCH_r04
+    HBM OOM). The int argmax reduce produces [B,H,W] with no class-axis
+    temp, and the eq-broadcast one-hot fuses into its consumer.
 
     0/1 values are exact in bf16, so the downstream f32-accumulated count
     matmul stays exact."""
-    m = jnp.max(logits, axis=axis, keepdims=True)
-    is_max = (logits == m) | jnp.isnan(logits)
-    first = jnp.cumsum(is_max.astype(jnp.int32), axis=axis) == 1
-    return (is_max & first).astype(dtype)
+    idx = jnp.argmax(logits, axis=axis)
+    c = logits.shape[axis]
+    shape = [1] * logits.ndim
+    shape[axis] = c
+    classes = jnp.arange(c, dtype=idx.dtype).reshape(shape)
+    return (jnp.expand_dims(idx, axis) == classes).astype(dtype)
 
 
 def confusion_matrix_from_logits(logits: jax.Array, targets: jax.Array,
                                  num_classes: int, ignore_index: int = 255,
                                  sample_mask: jax.Array | None = None
                                  ) -> jax.Array:
-    """[C, C] confusion matrix straight from NHWC logits (see
-    :func:`argmax_onehot`); bit-identical to argmax + confusion_matrix."""
-    onehot_p = argmax_onehot(logits, axis=-1).reshape(-1, logits.shape[-1])
+    """[C, C] confusion matrix straight from NHWC logits; bit-identical to
+    ``jnp.argmax`` + :func:`confusion_matrix` (chunked accumulation)."""
+    preds = jnp.argmax(logits, axis=-1).reshape(-1).astype(jnp.int32)
     tgts = targets.reshape(-1).astype(jnp.int32)
     valid = tgts != ignore_index
     if sample_mask is not None:
         per_sample = int(np.prod(targets.shape[1:])) if targets.ndim > 1 else 1
         valid = valid & jnp.repeat(sample_mask.astype(bool), per_sample)
     tgts_safe = jnp.clip(tgts, 0, num_classes - 1)
-    classes = jnp.arange(num_classes, dtype=jnp.int32)
-    onehot_t = ((tgts_safe[:, None] == classes[None, :]) & valid[:, None]
-                ).astype(jnp.bfloat16)
-    return jax.lax.dot_general(
-        onehot_t, onehot_p,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    return _cm_accumulate(tgts_safe, preds, valid, num_classes, num_classes)
 
 
 def confusion_matrix_per_weather_from_logits(
@@ -99,11 +145,9 @@ def confusion_matrix_per_weather_from_logits(
         weather_ids: jax.Array, n_weathers: int, ignore_index: int = 255,
         sample_mask: jax.Array | None = None) -> jax.Array:
     """[n_weathers, C, C] confusion matrices straight from NHWC logits:
-    the prediction one-hot comes from :func:`argmax_onehot` (no int argmax
-    materialization) and feeds the same joint one-hot matmul as
-    :func:`confusion_matrix_per_weather` — bit-identical counts."""
-    onehot_p = argmax_onehot(logits, axis=-1).reshape(
-        -1, logits.shape[-1])                                   # [N, C]
+    int argmax (no class-axis temp) feeding the same joint one-hot matmul
+    as :func:`confusion_matrix_per_weather` — bit-identical counts."""
+    preds = jnp.argmax(logits, axis=-1).reshape(-1).astype(jnp.int32)
     tgts = targets.reshape(-1).astype(jnp.int32)
     per_sample = int(np.prod(targets.shape[1:])) if targets.ndim > 1 else 1
     wid = jnp.repeat(weather_ids.astype(jnp.int32), per_sample)
@@ -113,13 +157,8 @@ def confusion_matrix_per_weather_from_logits(
 
     tgts_safe = jnp.clip(tgts, 0, num_classes - 1)
     joint = wid * num_classes + tgts_safe
-    rows = jnp.arange(n_weathers * num_classes, dtype=jnp.int32)
-    onehot_joint = ((joint[:, None] == rows[None, :]) & valid[:, None]
-                    ).astype(jnp.bfloat16)
-    cm = jax.lax.dot_general(
-        onehot_joint, onehot_p,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    cm = _cm_accumulate(joint, preds, valid,
+                        n_weathers * num_classes, num_classes)
     return cm.reshape(n_weathers, num_classes, num_classes)
 
 
@@ -145,15 +184,8 @@ def confusion_matrix_per_weather(predictions: jax.Array, targets: jax.Array,
     tgts_safe = jnp.clip(tgts, 0, num_classes - 1)
     preds_safe = jnp.clip(preds, 0, num_classes - 1)
     joint = wid * num_classes + tgts_safe                      # [N]
-    rows = jnp.arange(n_weathers * num_classes, dtype=jnp.int32)
-    onehot_joint = ((joint[:, None] == rows[None, :]) & valid[:, None]
-                    ).astype(jnp.bfloat16)
-    classes = jnp.arange(num_classes, dtype=jnp.int32)
-    onehot_p = (preds_safe[:, None] == classes[None, :]).astype(jnp.bfloat16)
-    cm = jax.lax.dot_general(
-        onehot_joint, onehot_p,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    cm = _cm_accumulate(joint, preds_safe, valid,
+                        n_weathers * num_classes, num_classes)
     return cm.reshape(n_weathers, num_classes, num_classes)
 
 

@@ -58,87 +58,23 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .headkernels import _ayx, _conv1_border_lines, _neighbor_pp, _pick_chunk
-from .headkernels_train import _SEQ3, _core_params, seg_batch_stats
+from .headkernels_train import (_SEQ3, _core_params, _line_mask, _mm_prec,
+                                _tile_keep, dropout_keep_mask, hash_keep,
+                                image_seed, pixel_index, seg_batch_stats)
 
-_M1 = np.uint32(0x7FEB352D).astype(np.int32)
-_M2 = np.uint32(0x846CA68B).astype(np.int32)
-
-
-# ---------------------------------------------------------------------------
-# counter-based dropout mask (shared by Pallas, XLA strips, and tests)
-# ---------------------------------------------------------------------------
-
-def _mix32(h):
-    """lowbias32-style avalanche mixer on int32 (logical shifts; int32
-    wrap-around multiplication is identical in XLA and Mosaic)."""
-    h = h ^ lax.shift_right_logical(h, 16)
-    h = h * _M1
-    h = h ^ lax.shift_right_logical(h, 15)
-    h = h * _M2
-    h = h ^ lax.shift_right_logical(h, 16)
-    return h
-
-
-def pixel_index(y, x, c, W: int, C: int):
-    """PER-IMAGE element index, int32 — the hash input. Per-image (not
-    global) so the counter never wraps: H*W*C stays < 2^31 for every
-    supported resolution (2048x1024 x C=256 = 2^29), whereas a global
-    index would alias masks between batch elements once B*H*W*C exceeds
-    2^32 (the batch stride is a power of two at production shapes). The
-    batch element is folded into the seed instead (`image_seed`). The
-    parenthesization must match everywhere a mask is drawn."""
-    y = jnp.asarray(y, jnp.int32)
-    x = jnp.asarray(x, jnp.int32)
-    c = jnp.asarray(c, jnp.int32)
-    return (y * np.int32(W) + x) * np.int32(C) + c
-
-
-def image_seed(seed, b):
-    """Per-image seed: avalanche the batch index into the step seed so
-    every image draws from a distinct, uncorrelated counter stream."""
-    return seed ^ _mix32(jnp.asarray(b, jnp.int32) * _M1)
-
-
-def hash_keep(idx, seed, rate: float):
-    """Keep mask from the element-index hash: keep iff u32(hash) >= rate."""
-    bits = lax.bitcast_convert_type(_mix32(idx ^ seed), jnp.uint32)
-    return bits >= jnp.uint32(_core_params(rate)[0])
-
-
-def dropout_keep_mask(shape, seed, rate: float):
-    """[B, H, W, C] keep mask — the full-grid reference (tests, docs)."""
-    B, H, W, C = shape
-    b = jnp.arange(B, dtype=jnp.int32)[:, None, None, None]
-    y = jnp.arange(H, dtype=jnp.int32)[None, :, None, None]
-    x = jnp.arange(W, dtype=jnp.int32)[None, None, :, None]
-    c = jnp.arange(C, dtype=jnp.int32)[None, None, None, :]
-    return hash_keep(pixel_index(y, x, c, W, C), image_seed(seed, b), rate)
+__all__ = ['depth_stage1_fused_train', 'dropout_keep_mask', 'hash_keep',
+           'image_seed', 'pixel_index']
 
 
 # ---------------------------------------------------------------------------
 # kernels — seg-kernel tile structure ([r^2, chunk*C] flat phase layout)
 # ---------------------------------------------------------------------------
 
-def _tile_keep(seed, r, c1, chunk, H, W, rate):
-    """[r^2, chunk*c1] keep mask for the tile of program (b, i, j);
-    global fine coords: y = i*r + p, x = (j*chunk + cell)*r + q."""
-    m = lax.broadcasted_iota(jnp.int32, (r * r, chunk * c1), 0)
-    cc = lax.broadcasted_iota(jnp.int32, (r * r, chunk * c1), 1)
-    p = m // np.int32(r)
-    q = m - p * np.int32(r)
-    cell = cc // np.int32(c1)
-    ch = cc - cell * np.int32(c1)
-    b = pl.program_id(0)
-    y = pl.program_id(1) * np.int32(r) + p
-    x = (pl.program_id(2) * np.int32(chunk) + cell) * np.int32(r) + q
-    return hash_keep(pixel_index(y, x, ch, W, c1), image_seed(seed, b),
-                     rate)
-
-
 def _z1_tile(ayx_ref, pp_ref, a1_ref, c1_ref, mm_dtype):
     f32 = jnp.float32
     w3 = pp_ref[0, 0, 0]                                  # [81, chunk*C]
     fine = jnp.dot(ayx_ref[:].astype(mm_dtype), w3.astype(mm_dtype),
+                   precision=_mm_prec(mm_dtype),
                    preferred_element_type=f32)            # [r^2, chunk*C]
     return fine, fine * a1_ref[0][None, :] + c1_ref[0][None, :]
 
@@ -186,6 +122,7 @@ def _d1_bwd_kernel(seed_ref, ayx_ref, pp_ref, a1_ref, c1_ref, dy_ref,
     dfine = (dz1 * a1_ref[0][None, :]).astype(mm_dtype)
     dpp = lax.dot_general(ayx_ref[:].astype(mm_dtype), dfine,
                           (((0,), (0,)), ((), ())),
+                          precision=_mm_prec(mm_dtype),
                           preferred_element_type=f32)     # [81, chunk*C]
     dpp_ref[0, 0, 0] = dpp.astype(dpp_ref.dtype)
 
@@ -289,21 +226,6 @@ _d1_core2.defvjp(_d1_core2_fwd, _d1_core2_bwd)
 # ---------------------------------------------------------------------------
 # exact image-border lines (XLA)
 # ---------------------------------------------------------------------------
-
-def _line_mask(side, B, H, W, c1, seed, rate):
-    """[B, N, c1] keep mask for one 1-px border line of the full-res
-    field (top/bot: y fixed, N walks x; left/right: x fixed, N walks y)."""
-    b = jnp.arange(B, dtype=jnp.int32)[:, None, None]
-    c = jnp.arange(c1, dtype=jnp.int32)[None, None, :]
-    bseed = image_seed(seed, b)
-    if side in ('top', 'bot'):
-        n = jnp.arange(W, dtype=jnp.int32)[None, :, None]
-        y = np.int32(0 if side == 'top' else H - 1)
-        return hash_keep(pixel_index(y, n, c, W, c1), bseed, rate)
-    n = jnp.arange(H, dtype=jnp.int32)[None, :, None]
-    x = np.int32(0 if side == 'left' else W - 1)
-    return hash_keep(pixel_index(n, x, c, W, c1), bseed, rate)
-
 
 def _paste_d1_borders(d1, lines, a1, c1b, r, seed, rate):
     """Overwrite d1's four 1-px border lines with exact zero-padded conv1

@@ -80,6 +80,62 @@ def _compiled_flops(compiled) -> float:
         return 0.0
 
 
+# AOT HBM pre-flight (VERDICT r4 item 3): the tunnel's compile helper is
+# chipless, so a program that cannot fit (BENCH_r04: 18.01G needed vs
+# 15.75G available) is rejected BEFORE any measured run instead of OOMing
+# away a scarce chip window. The limit leaves headroom under the v5e 16G
+# for the runtime's reserved segment.
+HBM_LIMIT_BYTES = int(float(os.environ.get('AWSEG_HBM_LIMIT_GB', '15.2'))
+                      * 1e9)
+
+
+def _hbm_required_bytes(compiled) -> float:
+    """Total HBM the compiled program needs (args + temps + outs − aliased);
+    0.0 when the backend offers no analysis (pre-flight passes open-loop)."""
+    try:
+        ma = compiled.memory_analysis()
+        need = (getattr(ma, 'temp_size_in_bytes', 0)
+                + getattr(ma, 'argument_size_in_bytes', 0)
+                + getattr(ma, 'output_size_in_bytes', 0)
+                - getattr(ma, 'alias_size_in_bytes', 0))
+        return float(need)
+    except Exception:
+        return 0.0
+
+
+def _fit_batch(candidates, compile_at, limit=None):
+    """Largest candidate batch whose AOT-compiled program fits in HBM.
+
+    ``compile_at(b)`` must return the compiled executable for batch ``b``.
+    Compile-time OOMs (permanent markers) also step down. Returns
+    ``(batch, compiled, hbm_bytes)``; re-raises the last error if no
+    candidate fits.
+    """
+    limit = HBM_LIMIT_BYTES if limit is None else limit
+    last_err = None
+    for b in candidates:
+        try:
+            compiled = compile_at(b)
+        except Exception as e:
+            if _is_permanent(str(e)):
+                print(f'bench: B{b} failed to compile (permanent error); '
+                      f'stepping batch down', file=sys.stderr)
+                last_err = e
+                continue
+            raise
+        need = _hbm_required_bytes(compiled)
+        if need <= limit:
+            return b, compiled, need
+        print(f'bench: pre-flight rejected B{b} '
+              f'({need / 1e9:.2f} GB > {limit / 1e9:.2f} GB); '
+              f'stepping batch down', file=sys.stderr)
+        last_err = RuntimeError(
+            f'HBM pre-flight: B{b} needs {need / 1e9:.2f} GB '
+            f'(limit {limit / 1e9:.2f} GB)')
+    raise last_err if last_err is not None else RuntimeError(
+        'no batch candidates')
+
+
 def _jax_setup():
     import jax
     # persistent compile cache: tunnel-backend compiles take minutes; cache
@@ -206,14 +262,32 @@ def _device_batches(batch, n, seed=0):
 
 
 def measure_tpu_eval(head_mode: str):
-    """Returns (images_per_sec, mfu)."""
+    """Returns (images_per_sec, mfu, batch_used)."""
     jax = _jax_setup()
     import jax.numpy as jnp
     import numpy as np
 
-    batch = BATCH[head_mode]
+    batch0 = BATCH[head_mode]
     n_measure = MEASURE_BATCHES[head_mode]
     step, variables_bf16, _ = build_eval(head_mode)
+    acc = (jnp.zeros((19, 19), jnp.float32), jnp.zeros((), jnp.float32))
+
+    def args_of(b):
+        return (variables_bf16, b['image'], b['label'], b['weather_id'],
+                b['keys'])
+
+    # AOT pre-flight: compile (chipless) at the target batch, step down
+    # B→B/2→B/4 if the memory analysis says it cannot fit.
+    def compile_at(b):
+        probe = _device_batches(b, 1)[0]
+        return step.lower(*args_of(probe), acc).compile()
+
+    batch, compiled, hbm = _fit_batch(
+        [batch0, batch0 // 2, batch0 // 4], compile_at)
+    if batch != batch0:
+        print(f'bench: eval-{head_mode} backed off to B{batch} '
+              f'({hbm / 1e9:.2f} GB)', file=sys.stderr)
+    flops = _compiled_flops(compiled)
 
     # Timing methodology: inputs are placed on device up front (a production
     # input pipeline overlaps host transfers with compute; on this dev setup
@@ -223,14 +297,6 @@ def measure_tpu_eval(head_mode: str):
     # is the only reliable completion barrier on remote-tunnel backends
     # where block_until_ready can return at enqueue time.
     batches = _device_batches(batch, 2)
-    acc = (jnp.zeros((19, 19), jnp.float32), jnp.zeros((), jnp.float32))
-
-    def args_of(b):
-        return (variables_bf16, b['image'], b['label'], b['weather_id'],
-                b['keys'])
-
-    flops = _compiled_flops(
-        step.lower(*args_of(batches[0]), acc).compile())
 
     for i in range(WARMUP_BATCHES):
         acc = step(*args_of(batches[i % 2]), acc)
@@ -243,7 +309,7 @@ def measure_tpu_eval(head_mode: str):
     elapsed = time.perf_counter() - t0
     sec_per_step = elapsed / n_measure
     mfu = (flops / sec_per_step) / PEAK_FLOPS_BF16 if flops else 0.0
-    return n_measure * batch / elapsed, mfu
+    return n_measure * batch / elapsed, mfu, batch
 
 
 TRAIN_BATCH = 8
@@ -478,6 +544,20 @@ _TRANSIENT_MARKERS = ('DEADLINE_EXCEEDED', 'UNAVAILABLE', 'INTERNAL',
                       '500', 'Connection', 'Socket', 'RESOURCE_EXHAUSTED: '
                       'Attempting to reserve')
 
+# Deterministic failures that the tunnel wraps in transient-looking status
+# codes (BENCH_r04: a compile-time HBM OOM surfaced as ``INTERNAL: ... HTTP
+# 500`` and burned a full-recompile retry). Checked FIRST — a permanent
+# marker anywhere in the message disables the retry regardless of what
+# status code the transport dressed it in.
+_PERMANENT_MARKERS = ('Ran out of memory', 'ran out of memory',
+                      'out of memory in memory space',
+                      'XLA:TPU compile permanent error',
+                      'Mosaic failed', 'INVALID_ARGUMENT')
+
+
+def _is_permanent(msg: str) -> bool:
+    return any(m in msg for m in _PERMANENT_MARKERS)
+
 
 def _measure_with_retry(fn, attempts: int = 2, on_retry=None):
     # the tunneled dev backend's remote-compile helper occasionally 500s;
@@ -489,7 +569,9 @@ def _measure_with_retry(fn, attempts: int = 2, on_retry=None):
         try:
             return fn()
         except Exception as e:
-            transient = any(m in str(e) for m in _TRANSIENT_MARKERS)
+            msg = str(e)
+            transient = (not _is_permanent(msg)
+                         and any(m in msg for m in _TRANSIENT_MARKERS))
             if i == attempts - 1 or not transient:
                 raise
             print(f"bench: transient failure, retrying in 20s: {e!r}",
@@ -551,19 +633,21 @@ def _gather(fresh: dict) -> dict:
     ref_e2e = base['ref_e2e_images_per_sec']
     ref_pipe = base.get('ref_pipeline_images_per_sec',
                         base.get('ref_images_per_sec', ref_e2e))
-    faithful, faithful_mfu = _run_with_deadline(
+    faithful, faithful_mfu, faithful_b = _run_with_deadline(
         lambda: _measure_with_retry(lambda: measure_tpu_eval('faithful')),
         'eval-faithful')
     fresh.update({'value': round(faithful, 3),
                   'vs_baseline': round(faithful / ref_e2e, 2),
                   'mfu': round(faithful_mfu, 4),
+                  'batch_used': faithful_b,
                   'vs_pipeline_only': round(faithful / ref_pipe, 2)})
-    fused, fused_mfu = _run_with_deadline(
+    fused, fused_mfu, fused_b = _run_with_deadline(
         lambda: _measure_with_retry(lambda: measure_tpu_eval('fused')),
         'eval-fused')
     fresh.update({'fused_value': round(fused, 3),
                   'fused_vs_baseline': round(fused / ref_e2e, 2),
-                  'fused_mfu': round(fused_mfu, 4)})
+                  'fused_mfu': round(fused_mfu, 4),
+                  'fused_batch_used': fused_b})
     train_note = None
     try:
         train_ips, train_mfu = _run_with_deadline(
@@ -621,13 +705,16 @@ def _gather(fresh: dict) -> dict:
     return {
         'metric': 'ensemble_4weather_eval_throughput',
         'value': round(faithful, 3),
-        'unit': 'images/sec/chip @512x1024 B32 (head_mode=faithful, '
-                'reference-parity arch, seg+depth outputs both consumed)',
+        'unit': f'images/sec/chip @512x1024 B{faithful_b} '
+                '(head_mode=faithful, reference-parity arch, seg+depth '
+                'outputs both consumed)',
         'vs_baseline': round(faithful / ref_e2e, 2),
         'mfu': round(faithful_mfu, 4),
+        'batch_used': faithful_b,
         'fused_value': round(fused, 3),
         'fused_vs_baseline': round(fused / ref_e2e, 2),
         'fused_mfu': round(fused_mfu, 4),
+        'fused_batch_used': fused_b,
         'train_value': None if train_ips is None else round(train_ips, 3),
         'train_unit': 'images/sec/chip @512x1024 B8 one-jit train step '
                       '(corrupt+augment+fwd+bwd+clip+AdamW, faithful)',
@@ -670,7 +757,11 @@ def _stale_artifact(error: BaseException, fresh: dict) -> dict:
         'cached last-good measurements'
         + (f' except these, measured fresh this run: {sorted(fresh)}'
            if fresh else ''))
-    out['error'] = repr(error)
+    # BENCH_r04: an OOM's repr embedded a ~15KB XLA allocation dump, pushing
+    # the JSON line's head past the driver's 2000-char tail (parsed: null
+    # despite rc=0). The artifact must stay one short parseable line.
+    err = repr(error)
+    out['error'] = err[:400] + ('…[truncated]' if len(err) > 400 else '')
     return out
 
 

@@ -67,7 +67,7 @@ def test_midrun_abort_keeps_fresh_partials(bench, capsys, monkeypatch):
     def eval_then_die(mode):
         calls.append(mode)
         if mode == 'faithful':
-            return 200.0, 0.25           # fresh faithful number lands
+            return 200.0, 0.25, 32       # fresh faithful number lands
         raise RuntimeError('Socket closed')  # tunnel dies before fused
 
     monkeypatch.setattr(bench, 'measure_tpu_eval', eval_then_die)
@@ -105,8 +105,8 @@ def test_deadline_abandons_hung_measurement(bench):
 
 def test_success_writes_lastgood(bench, capsys, monkeypatch):
     monkeypatch.setattr(bench, 'measure_tpu_eval',
-                        lambda mode: (300.0, 0.3) if mode == 'faithful'
-                        else (400.0, 0.4))
+                        lambda mode: (300.0, 0.3, 32) if mode == 'faithful'
+                        else (400.0, 0.4, 64))
     monkeypatch.setattr(bench, 'measure_tpu_train', lambda: (50.0, 0.12))
     monkeypatch.setattr(bench, 'measure_disk_eval', lambda raw: 250.0)
     monkeypatch.setattr(bench, 'measure_disk_train', lambda: 45.0)
@@ -135,8 +135,8 @@ def test_partial_success_backfills_lastgood_not_clobbers(bench, capsys,
     # leaking the disable into later tests in this process
     monkeypatch.setenv('AWSEG_DISABLE_TRAIN_HEADS', '')
     monkeypatch.setattr(bench, 'measure_tpu_eval',
-                        lambda mode: (300.0, 0.3) if mode == 'faithful'
-                        else (400.0, 0.4))
+                        lambda mode: (300.0, 0.3, 32) if mode == 'faithful'
+                        else (400.0, 0.4, 64))
 
     def boom():
         raise RuntimeError('deterministic train failure')
@@ -175,3 +175,96 @@ def test_committed_lastgood_seed_is_valid():
     seed = json.loads((REPO / '.bench_lastgood.json').read_text())
     assert seed['metric'] == 'ensemble_4weather_eval_throughput'
     assert seed['value'] and seed['vs_baseline'] > 1
+
+
+# --- round-5 hardening (VERDICT r4 item 3) ---------------------------------
+
+# the BENCH_r04 failure shape: a deterministic compile-time HBM OOM dressed
+# by the tunnel as a transient-looking INTERNAL / HTTP 500 status
+_OOM_MSG = ('INTERNAL: XLA:TPU compile permanent error. Ran out of memory '
+            'in memory space hbm. Used 18.01G of 15.75G hbm. '
+            '(via HTTP 500)' + 'X' * 15000)
+
+
+def test_oom_classified_permanent_no_retry(bench, monkeypatch):
+    monkeypatch.setattr(bench.time, 'sleep', lambda s: None)
+    calls = []
+
+    def oom():
+        calls.append(1)
+        raise RuntimeError(_OOM_MSG)
+
+    with pytest.raises(RuntimeError):
+        bench._measure_with_retry(oom)
+    assert len(calls) == 1               # no retry burned on a permanent OOM
+
+
+def test_transient_still_retries(bench, monkeypatch):
+    monkeypatch.setattr(bench.time, 'sleep', lambda s: None)
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) == 1:
+            raise RuntimeError('UNAVAILABLE: tunnel hiccup')
+        return 7
+
+    assert bench._measure_with_retry(flaky) == 7
+    assert len(calls) == 2
+
+
+def test_stale_error_is_truncated(bench, capsys, monkeypatch):
+    """A 15KB XLA allocation dump in the error must not push the JSON
+    line's head past the driver's 2000-char tail (BENCH_r04 parsed:null)."""
+    def boom(mode):
+        raise RuntimeError(_OOM_MSG)
+
+    monkeypatch.setattr(bench, 'measure_tpu_eval', boom)
+    monkeypatch.setattr(bench, '_measure_with_retry', lambda fn, **kw: fn())
+    out = _run_main(bench, capsys)
+    assert out['stale'] is True
+    assert len(out['error']) < 500
+    assert len(json.dumps(out)) < 2000   # whole artifact fits the tail
+
+
+class _FakeCompiled:
+    def __init__(self, need):
+        self._need = need
+
+    def memory_analysis(self):
+        class MA:
+            temp_size_in_bytes = self._need
+            argument_size_in_bytes = 0
+            output_size_in_bytes = 0
+            alias_size_in_bytes = 0
+        return MA()
+
+
+def test_fit_batch_backs_off_on_memory_analysis(bench):
+    """AOT pre-flight: B32 program over the limit steps down to B16."""
+    need = {32: 18.01e9, 16: 9.2e9, 8: 5.0e9}
+    compiled_batches = []
+
+    def compile_at(b):
+        compiled_batches.append(b)
+        return _FakeCompiled(need[b])
+
+    batch, compiled, hbm = bench._fit_batch([32, 16, 8], compile_at,
+                                            limit=15.2e9)
+    assert batch == 16 and hbm == 9.2e9
+    assert compiled_batches == [32, 16]
+
+
+def test_fit_batch_steps_down_on_compile_oom(bench):
+    def compile_at(b):
+        if b == 32:
+            raise RuntimeError(_OOM_MSG)
+        return _FakeCompiled(5.0e9)
+
+    batch, _, _ = bench._fit_batch([32, 16], compile_at, limit=15.2e9)
+    assert batch == 16
+
+
+def test_fit_batch_raises_when_nothing_fits(bench):
+    with pytest.raises(RuntimeError, match='pre-flight'):
+        bench._fit_batch([8], lambda b: _FakeCompiled(20e9), limit=15.2e9)
