@@ -239,10 +239,17 @@ def _conv1_border_lines(f, kernel, r):
         'right': k[:, 0] + k[:, 1],
     }
 
+    # f32 operands must request HIGHEST or XLA routes this einsum through
+    # the MXU's single-pass bf16 mode (~1e-3 max error on the strips — the
+    # r4 on-chip depth forward-parity failure lived HERE, not in the
+    # Pallas core); bf16 production inputs keep the plain MXU pass.
+    prec = (lax.Precision.HIGHEST if dtype == jnp.float32
+            else lax.Precision.DEFAULT)
+
     def border1d(line, w2):
         pad = jnp.pad(line, ((0, 0), (1, 1), (0, 0)))
         g = jnp.stack([pad[:, :-2], pad[:, 1:-1], pad[:, 2:]], axis=2)
-        return jnp.einsum('bntc,tcO->bnO', g, w2,
+        return jnp.einsum('bntc,tcO->bnO', g, w2, precision=prec,
                           preferred_element_type=jnp.float32).astype(dtype)
 
     return {
@@ -258,11 +265,14 @@ def _paste_seg_borders(out, f, conv1_kernel, a1, c1b, wp, bp, r):
     dtype = out.dtype
     lines = _conv1_border_lines(f, conv1_kernel, r)
 
+    prec = (lax.Precision.HIGHEST if dtype == jnp.float32
+            else lax.Precision.DEFAULT)
+
     def head_tail(pre):  # [B, N, c1] pre-BN conv1 (bias folded into c1b)
         hdn = jnp.maximum(pre.astype(jnp.float32) * a1[None, None, :]
                           + c1b[None, None, :], 0.0)
         return (jnp.einsum('bnc,cO->bnO', hdn.astype(dtype),
-                           wp.astype(dtype),
+                           wp.astype(dtype), precision=prec,
                            preferred_element_type=jnp.float32)
                 + bp).astype(dtype)
 
@@ -287,8 +297,11 @@ def _depth_kernel(ayx_ref, pp_ref, a1_ref, c1_ref, w2blk_ref, a2_ref,
     w3 = pp_ref[0, 0, 0]                                  # [81, chunk·C]
     fine = jnp.dot(ayx_ref[:].astype(mm_dtype), w3.astype(mm_dtype),
                    preferred_element_type=f32)            # [re·re, chunk·C]
+    # hidden stays f32 for the rolls: Mosaic's dynamic_rotate only lowers
+    # 32-bit data (a bf16 roll fails with "Rotate with non-32-bit data"),
+    # so the roll happens in f32 and each tap casts to the matmul dtype.
     hidden = jnp.maximum(fine * a1_ref[0][None, :]
-                         + c1_ref[0][None, :], 0.0).astype(mm_dtype)
+                         + c1_ref[0][None, :], 0.0)
 
     # conv2 3×3 c1→c2 for ALL cells at once, keeping the [re·re, chunk·C]
     # row-major flat layout: tap (ty, tx) is a sublane ROLL by ty·re + tx
@@ -302,7 +315,7 @@ def _depth_kernel(ayx_ref, pp_ref, a1_ref, c1_ref, w2blk_ref, a2_ref,
     for ty in range(3):
         for tx in range(3):
             shifted = pltpu.roll(hidden, (re * re - ty * re - tx) % (re * re),
-                                 0)
+                                 0).astype(mm_dtype)
             acc = acc + jnp.dot(shifted, w2blk_ref[ty, tx].astype(mm_dtype),
                                 preferred_element_type=f32)
     h2 = jnp.maximum(acc * a2_ref[0][None, :]
@@ -400,6 +413,8 @@ def _paste_depth_borders(out, f, k1, a1, c1b, k2, b2, a2, c2b, wp, bp, r):
     the op pastes its own zero-padded border line), then conv2/BN2/proj
     run in 1-D."""
     dtype = out.dtype
+    prec = (lax.Precision.HIGHEST if dtype == jnp.float32
+            else lax.Precision.DEFAULT)
 
     def hidden1(pre):  # pre-BN conv1 (bias folded into c1b) → hidden1
         return jnp.maximum(pre.astype(jnp.float32) * a1 + c1b,
@@ -408,6 +423,7 @@ def _paste_depth_borders(out, f, k1, a1, c1b, k2, b2, a2, c2b, wp, bp, r):
     def tail(h2_pre):  # conv2 output (incl. its bias) → BN2 → ReLU → proj
         hh = jnp.maximum(h2_pre.astype(jnp.float32) * a2 + c2b, 0.0)
         d = jnp.einsum('...c,cO->...O', hh.astype(dtype), wp.astype(dtype),
+                       precision=prec,
                        preferred_element_type=jnp.float32) + bp
         return jax.nn.sigmoid(d).astype(dtype)
 
@@ -432,7 +448,7 @@ def _paste_depth_borders(out, f, k1, a1, c1b, k2, b2, a2, c2b, wp, bp, r):
                               axis=2)             # [B, N, 3, c1]
                 kt = (2 - t) if flip else t
                 w_t = k2d[kt] if taps == 'y' else k2d[:, kt]  # [3, c1, c2]
-                term = jnp.einsum('bntc,tcO->bnO', g, w_t,
+                term = jnp.einsum('bntc,tcO->bnO', g, w_t, precision=prec,
                                   preferred_element_type=jnp.float32)
                 acc = term if acc is None else acc + term
             outs.append(acc.astype(dtype))

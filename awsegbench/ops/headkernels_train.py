@@ -647,6 +647,7 @@ def _paste_seg_borders_train(out, lines, a1, c1b, wp, bp, r,
     (train variant: BN-batch-stat affine + the SAME counter-hash dropout
     stream as the kernel interior on the strips)."""
     dtype = out.dtype
+    prec = _mm_prec(jnp.float32 if dtype == jnp.float32 else jnp.bfloat16)
     keep = 1.0 - rate
     B, H, W = out.shape[0], out.shape[1], out.shape[2]
     c1 = a1.shape[-1]
@@ -667,7 +668,7 @@ def _paste_seg_borders_train(out, lines, a1, c1b, wp, bp, r,
         if m is not None:
             hdn = jnp.where(m, hdn / keep, 0.0)
         return (jnp.einsum('bnc,cO->bnO', hdn.astype(dtype),
-                           wp.astype(dtype),
+                           wp.astype(dtype), precision=prec,
                            preferred_element_type=jnp.float32)
                 + bp).astype(dtype)
 

@@ -91,7 +91,12 @@ def _upsample1d(row: jax.Array, r: int, axis: int) -> jax.Array:
     U = jnp.asarray(_up1d_table(r), row.dtype)
     g = _shift_gather(row, axis)  # [..., n, 3, ...]
     g = jnp.moveaxis(g, axis + 1, -1)  # taps last
-    out = jnp.einsum('...d,pd->...p', g, U)  # [..., n, (trail), p]
+    # f32 rows must not ride the MXU's single-pass bf16 mode (border-strip
+    # parity); bf16 production rows keep the plain pass.
+    prec = (jax.lax.Precision.HIGHEST if row.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    out = jnp.einsum('...d,pd->...p', g, U,
+                     precision=prec)  # [..., n, (trail), p]
     # interleave phase into the spatial axis
     out = jnp.moveaxis(out, -1, axis + 1)  # [..., n, p, ...]
     shape = list(out.shape)
