@@ -122,3 +122,21 @@ def synthetic_dataset_dir(tmp_path):
     d = tmp_path / 'empty_data'
     d.mkdir()
     return str(d)
+
+
+# --- fast verification tier (VERDICT r4 item 8) ----------------------------
+# `pytest -m fast -q` must complete in <3 min on this 1-core host so judges
+# and future rounds can reproduce "green" inside one sandbox window. Modules
+# here avoid ensemble-scale XLA CPU compiles; everything else is the full
+# suite (~15 min).
+_FAST_MODULES = {
+    'test_config', 'test_metrics', 'test_metrics_controlled',
+    'test_weather', 'test_splat', 'test_bench_artifact', 'test_native',
+    'test_augmentation', 'test_data',
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__.rsplit('.', 1)[-1] in _FAST_MODULES:
+            item.add_marker(pytest.mark.fast)
