@@ -5,18 +5,31 @@ Companion to profile_train.py for the faithful eval path (the bench
 headline). Measures (B8 @512x1024 by default, bf16 compute, chained
 donated accumulators, final-fetch barrier — the bench.py methodology):
 
-  * full   — prepare + ensemble fwd + CM/ECE/AUROC metric updates
-             (the evaluator's jitted step, single device)
-  * prep   — prepare_batch alone (eval mode: corrupt + normalize)
-  * seg / dl / ens — member / ensemble forwards alone (train=False)
+  * full   — prepare(+depth est) + ensemble fwd (seg AND depth heads
+             consumed) + CM/ECE/AUROC metric updates — matches the
+             bench.py headline workload (depth folded into the carry so
+             XLA cannot DCE it; the torch reference computes it eagerly)
+  * prep   — prepare_batch alone (eval mode: corrupt + depth est +
+             normalize, include_depth=True as in bench)
+  * seg / dl / ens — member / ensemble forwards alone (train=False),
+             all outputs consumed
+  * ens_seg — ensemble forward consuming ONLY the segmentation outputs
+             (depth heads DCE'd): `ens − ens_seg` is the marginal cost
+             of both members' depth heads
   * metrics — the metric tail alone, on fixed precomputed outputs
              (softmax mixing + argmax + one-hot CM + ECE bins + AUROC hist)
 
 The residual `full − prep − ens` vs the measured `metrics` row separates
 "metric math" from fusion/layout overhead between the stages.
 
-Usage: python scripts/profile_eval.py [--parts full,prep,seg,dl,ens,metrics]
-                                      [--head-mode faithful|fused]
+Each part compiles its own program (~1-3 min each on the tunneled AOT
+helper, cached across runs in /root/.jax_compile_cache) — in a budgeted
+chip window, invoke per-part (`--parts full`, then `--parts prep`, ...)
+so every subprocess fits its timeout and partial results survive.
+
+Usage: python scripts/profile_eval.py \
+           [--parts full,prep,seg,dl,ens,ens_seg,metrics]
+           [--head-mode faithful|fused]
 """
 
 import argparse
@@ -69,7 +82,7 @@ def report(name, dt):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--parts', default='full,prep,seg,dl,ens,metrics')
+    ap.add_argument('--parts', default='full,prep,seg,dl,ens,ens_seg,metrics')
     ap.add_argument('--head-mode', default='faithful',
                     choices=['faithful', 'fused'])
     ap.add_argument('--measure', type=int, default=8)
@@ -152,11 +165,16 @@ def main():
 
         def full_step(acc, b):
             prep = prepare_batch(b['image'], b['label'], b['weather_id'],
-                                 b['keys'], train=False, include_depth=False)
+                                 b['keys'], train=False, include_depth=True)
             out = model.apply(variables,
                               prep['image'].astype(jnp.bfloat16),
                               train=False)
-            return metric_tail(out, prep['label'], b['weather_id'], acc)
+            acc = metric_tail(out, prep['label'], b['weather_id'], acc)
+            # consume the depth heads exactly as bench.py's eval step does
+            acc = dict(acc)
+            acc['auroc_hist'] = acc['auroc_hist'] + (
+                out['depth'].astype(jnp.float32).sum() * 1e-30)
+            return acc
 
         f = jax.jit(full_step, donate_argnums=(0,))
         report('full', timeit(f, init_acc(), batches,
@@ -165,14 +183,17 @@ def main():
     if 'prep' in parts:
         def prep_step(acc, b):
             p = prepare_batch(b['image'], b['label'], b['weather_id'],
-                              b['keys'], train=False, include_depth=False)
-            return acc + p['image'].astype(jnp.float32).sum() * 1e-30
+                              b['keys'], train=False, include_depth=True)
+            s = p['image'].astype(jnp.float32).sum()
+            if p.get('depth') is not None:
+                s = s + p['depth'].astype(jnp.float32).sum()
+            return acc + s * 1e-30
 
         f = jax.jit(prep_step, donate_argnums=(0,))
         report('prepare', timeit(f, jnp.zeros(()), batches,
                                  measure=args.measure))
 
-    def run_fwd(name, model_name):
+    def run_fwd(name, model_name, seg_only=False):
         model, variables = get_model(model_name)
 
         def step(acc, b):
@@ -181,7 +202,9 @@ def main():
             out = model.apply(variables,
                               prep['image'].astype(jnp.bfloat16),
                               train=False)
-            s = sum(v.astype(jnp.float32).sum() for v in out.values()
+            items = [(k, v) for k, v in out.items()
+                     if not seg_only or 'depth' not in k]
+            s = sum(v.astype(jnp.float32).sum() for _, v in items
                     if v is not None)
             return acc + s * 1e-30
 
@@ -195,6 +218,8 @@ def main():
         run_fwd('deeplab+prep', 'deeplab')
     if 'ens' in parts:
         run_fwd('ensemble+prep', 'ensemble')
+    if 'ens_seg' in parts:
+        run_fwd('ens_seg+prep', 'ensemble', seg_only=True)
 
     if 'metrics' in parts:
         r2 = np.random.default_rng(1)
