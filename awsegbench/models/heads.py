@@ -35,11 +35,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..ops.headkernels import (
-    depth_head_fused,
-    pallas_heads_available,
-    seg_head_fused,
-)
+from ..ops.headkernels import pallas_heads_available, seg_head_fused
 from ..ops.depthkernels_train import depth_stage1_fused_train
 from ..ops.headkernels_train import seg_head_fused_train
 from ..ops.upconv import upsample_conv3x3
@@ -217,21 +213,14 @@ class DepthEstimationHead(nn.Module):
         bn1 = BatchNormParams(name='BatchNorm_1')
         k2, b2 = ConvParams(self.out_channels, 1, name='Conv_2')(c2)
 
-        # The fused depth kernel currently loses to the XLA upconv path on
-        # real hardware (24.7 vs 18.5 ms at [8,512,1024] — conv2's shifted
-        # VMEM windows relayout); opt-in until it wins.
-        use_pallas = (upsample_scale is not None and not train
-                      and self.out_channels == 1
-                      and not self.is_initializing()
-                      and _pallas_heads_enabled()
-                      and _env_flag('AWSEG_PALLAS_DEPTH_HEAD'))
-        if use_pallas:
-            s0, o0, m0, v0 = bn0(None, features=c1)
-            s1, o1, m1, v1 = bn1(None, features=c2)
-            return depth_head_fused(
-                features, k0, b0, s0, o0, m0, v0, BN_EPS,
-                k1, b1, s1, o1, m1, v1, BN_EPS,
-                k2, b2, scale=upsample_scale)
+        # Eval mode runs the XLA upconv path unconditionally: it is
+        # compute-bound at near-peak MXU rate (the full-res conv2 alone is
+        # ~2.5 TFLOPs/B8, and the measured head is ~38 ms/B8 ≈ the 37 ms
+        # FLOP floor at v5e bf16 peak), so no kernel can beat it without
+        # changing the math. A roll-based fused Pallas variant was A/B'd
+        # on chip twice and lost both times (24.7 vs 18.5 ms windowed-r2,
+        # 49.8 vs 38.1 ms f32-rolls-r5); it was deleted after the second
+        # loss rather than kept dead behind an env flag.
 
         # train-mode fused stage 1: batch stats in the coarse domain +
         # counter-hash dropout + custom-VJP backward; BN2/ReLU/proj tail

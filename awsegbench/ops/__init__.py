@@ -13,7 +13,7 @@ from .filters import (
     separable_filter,
 )
 from .depthkernels_train import depth_stage1_fused_train
-from .headkernels import depth_head_fused, seg_head_fused
+from .headkernels import seg_head_fused
 from .headkernels_train import seg_head_fused_train
 from .resize import resize_bilinear, resize_nearest, upsample_like
 from .upconv import upsample_conv3x3
@@ -23,7 +23,7 @@ __all__ = [
     "local_contrast", "rgb_to_gray_cv", "separable_filter",
     "depthwise_conv3x3",
     "resize_bilinear", "resize_nearest", "upsample_like",
-    "upsample_conv3x3", "seg_head_fused", "depth_head_fused",
+    "upsample_conv3x3", "seg_head_fused",
     "seg_head_fused_train", "depth_stage1_fused_train",
     "sr_attention", "sr_attention_reference",
 ]

@@ -283,204 +283,6 @@ def _paste_seg_borders(out, f, conv1_kernel, a1, c1b, wp, bp, r):
     return out
 
 
-# ---------------------------------------------------------------------------
-# depth head
-# ---------------------------------------------------------------------------
-
-def _depth_kernel(ayx_ref, pp_ref, a1_ref, c1_ref, w2blk_ref, a2_ref,
-                  c2_ref, wpblk_ref, bp_ref, out_ref,
-                  *, r: int, c1: int, c2: int, chunk: int):
-    f32 = jnp.float32
-    mm_dtype = out_ref.dtype if out_ref.dtype == jnp.bfloat16 else f32
-    re = r + 2
-
-    w3 = pp_ref[0, 0, 0]                                  # [81, chunk·C]
-    fine = jnp.dot(ayx_ref[:].astype(mm_dtype), w3.astype(mm_dtype),
-                   preferred_element_type=f32)            # [re·re, chunk·C]
-    # hidden stays f32 for the rolls: Mosaic's dynamic_rotate only lowers
-    # 32-bit data (a bf16 roll fails with "Rotate with non-32-bit data"),
-    # so the roll happens in f32 and each tap casts to the matmul dtype.
-    hidden = jnp.maximum(fine * a1_ref[0][None, :]
-                         + c1_ref[0][None, :], 0.0)
-
-    # conv2 3×3 c1→c2 for ALL cells at once, keeping the [re·re, chunk·C]
-    # row-major flat layout: tap (ty, tx) is a sublane ROLL by ty·re + tx
-    # (q + tx ≤ re−1, so flat indices never wrap across a row), one
-    # [re², chunk·C]×[chunk·C, chunk·c2] block-diagonal matmul per tap.
-    # The round-2 variant sliced shifted [re, r] windows instead, whose
-    # VMEM relayouts made the kernel lose to the XLA path (24.7 vs
-    # 18.5 ms at [8,512,1024]); rolls keep the layout fixed at ~13% extra
-    # matmul rows (re²/r²).
-    acc = jnp.zeros((re * re, chunk * c2), f32)
-    for ty in range(3):
-        for tx in range(3):
-            shifted = pltpu.roll(hidden, (re * re - ty * re - tx) % (re * re),
-                                 0).astype(mm_dtype)
-            acc = acc + jnp.dot(shifted, w2blk_ref[ty, tx].astype(mm_dtype),
-                                preferred_element_type=f32)
-    h2 = jnp.maximum(acc * a2_ref[0][None, :]
-                     + c2_ref[0][None, :], 0.0)
-    depth = jnp.dot(h2.astype(mm_dtype), wpblk_ref[:].astype(mm_dtype),
-                    preferred_element_type=f32)           # [re·re, chunk]
-    depth = jax.nn.sigmoid(depth + bp_ref[0][None, :])
-    depth = depth.reshape(re, re, chunk)[:r, :r]          # valid window
-    for cell in range(chunk):
-        out_ref[0, :, cell * r:(cell + 1) * r, :] = (
-            depth[:, :, cell:cell + 1].astype(out_ref.dtype))
-
-
-def depth_head_fused(f: jax.Array,
-                     conv1_kernel, conv1_bias,
-                     bn1_scale, bn1_bias, bn1_mean, bn1_var, bn1_eps: float,
-                     conv2_kernel, conv2_bias,
-                     bn2_scale, bn2_bias, bn2_mean, bn2_var, bn2_eps: float,
-                     proj_kernel, proj_bias,
-                     scale: int = 32, interpret: bool = False) -> jax.Array:
-    """Fused faithful depth head (eval mode): conv3×3(upsample×scale(f)) →
-    BN → ReLU → conv3×3 → BN → ReLU → conv1×1 → sigmoid.
-    Returns [B, h·scale, w·scale, 1] in f.dtype."""
-    b, h, w, cin = f.shape
-    c1 = conv1_kernel.shape[-1]
-    c2 = conv2_kernel.shape[-1]
-    r = scale
-    chunk = min(_pick_chunk(w, c1), 2)
-
-    pp = _neighbor_pp(f, conv1_kernel, chunk)
-    a1, c1b = _bn_fold(conv1_bias, bn1_scale, bn1_bias, bn1_mean, bn1_var,
-                       bn1_eps)
-    a2, c2b = _bn_fold(conv2_bias, bn2_scale, bn2_bias, bn2_mean, bn2_var,
-                       bn2_eps)
-    ayx = jnp.asarray(_ayx(r, True))
-    a1t = jnp.tile(a1.astype(jnp.float32), chunk)[None]
-    c1t = jnp.tile(c1b.astype(jnp.float32), chunk)[None]
-    a2t = jnp.tile(a2.astype(jnp.float32), chunk)[None]
-    c2t = jnp.tile(c2b.astype(jnp.float32), chunk)[None]
-    bpt = jnp.tile(proj_bias.astype(jnp.float32), chunk)[None]
-    # block-diagonal per-tap conv2 weights [3,3,chunk·C,chunk·c2] and
-    # projection [chunk·c2, chunk] so every cell contracts only its block
-    eye = jnp.eye(chunk, dtype=f.dtype)
-    w2blk = jnp.einsum('yxcO,st->yxsctO', conv2_kernel.astype(f.dtype),
-                       eye).reshape(3, 3, chunk * c1, chunk * c2)
-    wpblk = jnp.einsum('cO,st->sctO', proj_kernel.reshape(c2, 1).astype(
-        f.dtype), eye).reshape(chunk * c2, chunk)
-
-    kernel = functools.partial(_depth_kernel, r=r, c1=c1, c2=c2, chunk=chunk)
-    out = pl.pallas_call(
-        kernel,
-        grid=(b, h, w // chunk),
-        in_specs=[
-            pl.BlockSpec(((r + 2) * (r + 2), 81), lambda bb, i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, 81, chunk * c1),
-                         lambda bb, i, j: (bb, i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk * c1), lambda bb, i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk * c1), lambda bb, i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 3, chunk * c1, chunk * c2),
-                         lambda bb, i, j: (0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk * c2), lambda bb, i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk * c2), lambda bb, i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk * c2, chunk), lambda bb, i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk), lambda bb, i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, r, chunk * r, 1),
-                               lambda bb, i, j: (bb, i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h * r, w * r, 1), f.dtype),
-        interpret=interpret,
-    )(ayx, pp, a1t, c1t, w2blk, _rep2(a2t[0]), _rep2(c2t[0]),
-      wpblk, _rep2(bpt[0]))
-
-    return _paste_depth_borders(out, f, conv1_kernel, a1, c1b,
-                                conv2_kernel, conv2_bias, a2, c2b,
-                                proj_kernel.reshape(c2, 1), proj_bias, r)
-
-
-def _paste_depth_borders(out, f, k1, a1, c1b, k2, b2, a2, c2b, wp, bp, r):
-    """Overwrite the 2-px output border with exact zero-padded values.
-
-    conv2's halo propagates conv1's border treatment one pixel inward, so
-    the outer TWO fine lines are recomputed from 3-px-deep exact hidden1
-    strips: ``upsample_conv3x3`` on a 2-coarse-line slice yields exact
-    fine lines 0..2 (phases ≤ 2 touch only the outer two coarse lines, and
-    the op pastes its own zero-padded border line), then conv2/BN2/proj
-    run in 1-D."""
-    dtype = out.dtype
-    prec = (lax.Precision.HIGHEST if dtype == jnp.float32
-            else lax.Precision.DEFAULT)
-
-    def hidden1(pre):  # pre-BN conv1 (bias folded into c1b) → hidden1
-        return jnp.maximum(pre.astype(jnp.float32) * a1 + c1b,
-                           0.0).astype(dtype)
-
-    def tail(h2_pre):  # conv2 output (incl. its bias) → BN2 → ReLU → proj
-        hh = jnp.maximum(h2_pre.astype(jnp.float32) * a2 + c2b, 0.0)
-        d = jnp.einsum('...c,cO->...O', hh.astype(dtype), wp.astype(dtype),
-                       precision=prec,
-                       preferred_element_type=jnp.float32) + bp
-        return jax.nn.sigmoid(d).astype(dtype)
-
-    def conv2_1d(strip, taps, flip):
-        """conv2 over a 3-line hidden1 strip (line 0 = image border,
-        zero-padded beyond), returning output lines 0 and 1.
-
-        strip: [B, 3, N, c1]. ``taps``: which kernel axis the strip depth
-        walks ('y' or 'x'); ``flip``: strip runs inward from the far
-        border, so that kernel axis is reversed. conv2's bias is NOT added
-        (folded into c2b)."""
-        zero = jnp.zeros_like(strip[:, :1])
-        ext = jnp.concatenate([zero, strip], axis=1)  # depth −1..2
-        k2d = k2.astype(dtype)
-        outs = []
-        for line in (0, 1):
-            acc = None
-            for t in range(3):
-                src = ext[:, line + t]            # [B, N, c1]
-                pad = jnp.pad(src, ((0, 0), (1, 1), (0, 0)))
-                g = jnp.stack([pad[:, :-2], pad[:, 1:-1], pad[:, 2:]],
-                              axis=2)             # [B, N, 3, c1]
-                kt = (2 - t) if flip else t
-                w_t = k2d[kt] if taps == 'y' else k2d[:, kt]  # [3, c1, c2]
-                term = jnp.einsum('bntc,tcO->bnO', g, w_t, precision=prec,
-                                  preferred_element_type=jnp.float32)
-                acc = term if acc is None else acc + term
-            outs.append(acc.astype(dtype))
-        return outs
-
-    pre_top = upsample_conv3x3(f[:, 0:2], k1, None, scale=r)[:, 0:3]
-    pre_bot = upsample_conv3x3(f[:, -2:], k1, None, scale=r)[:, -3:][:, ::-1]
-    pre_left = upsample_conv3x3(f[:, :, 0:2], k1, None, scale=r)[:, :, 0:3]
-    pre_right = upsample_conv3x3(f[:, :, -2:], k1, None,
-                                 scale=r)[:, :, -3:][:, :, ::-1]
-
-    h_top = hidden1(pre_top)                            # [B, 3, W, c1]
-    h_bot = hidden1(pre_bot)                            # line 0 = border
-    h_left = hidden1(pre_left).transpose(0, 2, 1, 3)    # [B, 3, H, c1]
-    h_right = hidden1(pre_right).transpose(0, 2, 1, 3)
-
-    t0, t1 = conv2_1d(h_top, 'y', False)
-    b0, b1 = conv2_1d(h_bot, 'y', True)
-    l0, l1 = conv2_1d(h_left, 'x', False)
-    r0, r1 = conv2_1d(h_right, 'x', True)
-
-    out = out.at[:, 0].set(tail(t0))
-    out = out.at[:, 1].set(tail(t1))
-    out = out.at[:, -1].set(tail(b0))
-    out = out.at[:, -2].set(tail(b1))
-    out = out.at[:, :, 0].set(tail(l0))
-    out = out.at[:, :, 1].set(tail(l1))
-    out = out.at[:, :, -1].set(tail(r0))
-    out = out.at[:, :, -2].set(tail(r1))
-    return out
-
-
 def pallas_heads_available() -> bool:
     """Fused head kernels run on real TPU backends only."""
     try:

@@ -14,8 +14,6 @@ Steps (VERDICT r3 items in parens):
                    production shape (item 1)
   bench          — python bench.py: the full driver artifact with
                    value/mfu/fused/train/disk fields (items 1, 3)
-  depth_ab       — scripts/ab_depth_head.py: promote-or-delete evidence for
-                   the eval depth-head Pallas kernel (item 5)
   auroc          — scripts/auroc_scale_check.py: exact vs histogram AUROC
                    at ~1e8 pixels on chip (item 8)
   profile_eval   — scripts/profile_eval.py: component breakdown feeding the
@@ -44,7 +42,6 @@ STEPS = [
     # a SIGKILL here forfeits the child's own partial-result artifact.
     ('kernel_checks', ['scripts/tpu_kernel_checks.py'], 1200),
     ('bench', ['bench.py'], 4500),
-    ('depth_ab', ['scripts/ab_depth_head.py'], 1200),
     ('auroc', ['scripts/auroc_scale_check.py'], 1500),
     ('profile_eval', ['scripts/profile_eval.py'], 1200),
     ('profile_deeplab', ['scripts/profile_deeplab.py'], 1200),

@@ -14,7 +14,7 @@ import pytest
 from jax import lax
 
 from awsegbench.models.heads import BatchNormParams
-from awsegbench.ops.headkernels import depth_head_fused, seg_head_fused
+from awsegbench.ops.headkernels import seg_head_fused
 from awsegbench.ops.resize import upsample_like
 
 
@@ -58,32 +58,6 @@ def test_seg_kernel_matches_composition(h, w, cin, c1, nc, r):
                                rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize('h,w,cin,c1,c2,r', [
-    (3, 4, 8, 16, 12, 8),
-    (2, 2, 4, 8, 6, 4),
-])
-def test_depth_kernel_matches_composition(h, w, cin, c1, c2, r):
-    rng = np.random.default_rng(1)
-    f = jnp.asarray(rng.standard_normal((2, h, w, cin)), jnp.float32)
-    k1 = jnp.asarray(rng.standard_normal((3, 3, cin, c1)) * 0.2, jnp.float32)
-    b1 = jnp.asarray(rng.standard_normal((c1,)) * 0.1, jnp.float32)
-    bn1 = _rand_bn(rng, c1)
-    k2 = jnp.asarray(rng.standard_normal((3, 3, c1, c2)) * 0.2, jnp.float32)
-    b2 = jnp.asarray(rng.standard_normal((c2,)) * 0.1, jnp.float32)
-    bn2 = _rand_bn(rng, c2)
-    kp = jnp.asarray(rng.standard_normal((1, 1, c2, 1)) * 0.2, jnp.float32)
-    bp = jnp.asarray(rng.standard_normal((1,)) * 0.1, jnp.float32)
-
-    up = upsample_like(f, (h * r, w * r))
-    x = jnp.maximum(_bn(_conv(up, k1, b1), *bn1), 0.0)
-    x = jnp.maximum(_bn(_conv(x, k2, b2), *bn2), 0.0)
-    ref = jax.nn.sigmoid(_conv(x, kp, bp))
-    got = depth_head_fused(f, k1, b1, *bn1, 1e-5, k2, b2, *bn2, 1e-5,
-                           kp, bp, scale=r, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=1e-5, atol=1e-5)
-
-
 def test_seg_kernel_bf16_tolerance():
     """Production runs the kernel in bf16 (mm_dtype follows the input);
     pin the bf16 rounding path against the f32 composition."""
@@ -107,33 +81,6 @@ def test_seg_kernel_bf16_tolerance():
                          scale=r, interpret=True)
     np.testing.assert_allclose(np.asarray(got.astype(jnp.float32)), ref,
                                rtol=6e-2, atol=6e-2)
-
-
-def test_depth_kernel_bf16_tolerance():
-    rng = np.random.default_rng(6)
-    h, w, cin, c1, c2, r = 3, 4, 8, 16, 12, 8
-    f = jnp.asarray(rng.standard_normal((2, h, w, cin)), jnp.float32)
-    k1 = jnp.asarray(rng.standard_normal((3, 3, cin, c1)) * 0.2, jnp.float32)
-    b1 = jnp.asarray(rng.standard_normal((c1,)) * 0.1, jnp.float32)
-    bn1 = _rand_bn(rng, c1)
-    k2 = jnp.asarray(rng.standard_normal((3, 3, c1, c2)) * 0.2, jnp.float32)
-    b2 = jnp.asarray(rng.standard_normal((c2,)) * 0.1, jnp.float32)
-    bn2 = _rand_bn(rng, c2)
-    kp = jnp.asarray(rng.standard_normal((1, 1, c2, 1)) * 0.2, jnp.float32)
-    bp = jnp.asarray(rng.standard_normal((1,)) * 0.1, jnp.float32)
-
-    up = upsample_like(f, (h * r, w * r))
-    x = jnp.maximum(_bn(_conv(up, k1, b1), *bn1), 0.0)
-    x = jnp.maximum(_bn(_conv(x, k2, b2), *bn2), 0.0)
-    ref = np.asarray(jax.nn.sigmoid(_conv(x, kp, bp)))
-    got = depth_head_fused(f.astype(jnp.bfloat16),
-                           k1.astype(jnp.bfloat16), b1, *bn1, 1e-5,
-                           k2.astype(jnp.bfloat16), b2, *bn2, 1e-5,
-                           kp.astype(jnp.bfloat16), bp,
-                           scale=r, interpret=True)
-    # sigmoid compresses the range; abs tolerance dominates
-    np.testing.assert_allclose(np.asarray(got.astype(jnp.float32)), ref,
-                               rtol=6e-2, atol=3e-2)
 
 
 class TestBatchNormParams:
