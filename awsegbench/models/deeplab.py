@@ -68,7 +68,11 @@ class ResNetEncoder(nn.Module):
     def __call__(self, x: jax.Array, train: bool = False,
                  tile_info=None) -> list[jax.Array]:
         feats = [x]
-        # stem: 7×7/2 conv + BN + ReLU (+maxpool 3×3/2 afterwards)
+        # stem: 7×7/2 conv + BN + ReLU (+maxpool 3×3/2 afterwards).
+        # Kept as a direct conv: exact space-to-depth rewrites (both
+        # strided-slice and reshape/transpose phase packing) were A/B'd on
+        # chip and LOST (6.70 → 13.8 / 8.9 ms per-part) — with Cin=3 the
+        # phase relayout costs more than the MXU padding it removes.
         y = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, kernel_init=he_fan_out_normal)(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
