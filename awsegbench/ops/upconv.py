@@ -80,10 +80,23 @@ def _up1d_table(r: int) -> np.ndarray:
 
 def _shift_gather(x: jax.Array, axis: int) -> jax.Array:
     """Stack x shifted by {-1, 0, +1} along ``axis`` (clamped at the ends)
-    as a new trailing-of-axis dimension: shape[axis] → (shape[axis], 3)."""
+    as a new trailing-of-axis dimension: shape[axis] → (shape[axis], 3).
+
+    Built from slices + concat, NOT ``jnp.take``: a constant-index gather
+    lowers ~20× off the copy floor on TPU (measured 4.9 ms for the
+    [B,16,32,81,1024] pp build vs ~1 ms as copies), and — worse — its
+    VJP is a scatter-add, which serialized the train-head backward's
+    dpp→df reduction. Slice/concat VJPs are dense pads and adds."""
     n = x.shape[axis]
-    idx = np.clip(np.arange(n)[:, None] + np.arange(-1, 2)[None, :], 0, n - 1)
-    return jnp.take(x, jnp.asarray(idx), axis=axis)
+
+    def sl(lo, hi):
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(lo, hi)
+        return x[tuple(idx)]
+
+    left = jnp.concatenate([sl(0, 1), sl(0, n - 1)], axis)    # i-1, clamped
+    right = jnp.concatenate([sl(1, n), sl(n - 1, n)], axis)   # i+1, clamped
+    return jnp.stack([left, x, right], axis=axis + 1)
 
 
 def _upsample1d(row: jax.Array, r: int, axis: int) -> jax.Array:
